@@ -1,0 +1,119 @@
+"""Global minimizer index.
+
+Equivalent of the reference's ``StoreIndex``/``ReadIndex``/``WriteIndex``
+(reference: MMIndex.h:286-424): per-chromosome canonical minimizers are
+shifted into global coordinates, sorted by tuple, frequency-filtered
+(drop tuples occurring > global_max_freq times, MMIndex.h:332-351), then
+thinned per genome window — survivors are ranked frequency-ascending and
+each ``global_winsize``-bp window keeps at most
+``num_minimizers_per_window`` of them (MMIndex.h:358-376, ``CountSort``
+MMIndex.h:258-283).
+
+Everything is dense array code; the built index is three parallel arrays
+(tuple, pos, strand) sorted by tuple then position, ready to be sharded or
+replicated onto devices.  Serialization uses npz rather than the
+reference's raw ``.mms`` struct dump.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.genome import Genome
+from ..options import Options
+from .minimizers import minimizers
+
+
+@dataclass
+class GlobalIndex:
+    k: int
+    tuples: np.ndarray    # uint64, sorted ascending (ties: ascending pos)
+    pos: np.ndarray       # uint32 global genome position
+    strand: np.ndarray    # uint8: 1 if the canonical k-mer is the revcomp
+    freqs: np.ndarray     # int32 multiplicity of each surviving tuple
+
+    def __len__(self) -> int:
+        return len(self.tuples)
+
+    def lookup_bounds(self, query_tuples: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """For each query tuple, the [lo, hi) range of matching index rows."""
+        lo = np.searchsorted(self.tuples, query_tuples, side="left")
+        hi = np.searchsorted(self.tuples, query_tuples, side="right")
+        return lo, hi
+
+    def save(self, path: str) -> None:
+        np.savez(path, k=self.k, tuples=self.tuples, pos=self.pos,
+                 strand=self.strand, freqs=self.freqs)
+
+    @classmethod
+    def load(cls, path: str) -> "GlobalIndex":
+        z = np.load(path)
+        return cls(int(z["k"]), z["tuples"], z["pos"], z["strand"], z["freqs"])
+
+
+def build_global_index(genome: Genome, opts: Options) -> GlobalIndex:
+    k, w = opts.global_k, opts.global_w
+    tuples_l, pos_l, strand_l = [], [], []
+    start = 0
+    for ci in range(genome.nseq):
+        end = int(genome.ends[ci])
+        t, p, s = minimizers(genome.codes[start:end], k, w, canonical=True)
+        tuples_l.append(t)
+        pos_l.append(p.astype(np.int64) + start)
+        strand_l.append(s)
+        start = end
+    tuples = (np.concatenate(tuples_l) if tuples_l else np.zeros(0, np.uint64))
+    if len(tuples) == 0:
+        return GlobalIndex(k, np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                           np.zeros(0, np.uint8), np.zeros(0, np.int32))
+    pos = np.concatenate(pos_l)
+    strand = np.concatenate(strand_l)
+
+    # sort by (tuple, pos) — reference sorts by tuple only (stable within a
+    # chromosome by construction); (tuple, pos) is deterministic globally.
+    order = np.lexsort((pos, tuples))
+    tuples, pos, strand = tuples[order], pos[order], strand[order]
+
+    # tuple run lengths -> frequency per occurrence
+    boundaries = np.concatenate([[True], tuples[1:] != tuples[:-1]])
+    run_id = np.cumsum(boundaries) - 1
+    run_sizes = np.bincount(run_id)
+    freq = run_sizes[run_id].astype(np.int64)
+
+    # frequency filter: drop tuples with multiplicity > global_max_freq
+    # (reference: MMIndex.h:335 `if (ne - n > opts.globalMaxFreq)`)
+    keep = freq <= opts.global_max_freq
+
+    # per-window thinning of the survivors (reference: MMIndex.h:358-376):
+    # rank survivors by (freq asc, index desc) — matching CountSort's stable
+    # placement order — and keep the first num_minimizers_per_window per
+    # global_winsize genome window.
+    surv = np.nonzero(keep)[0]
+    if len(surv):
+        sfreq = freq[surv]
+        order2 = np.lexsort((-surv, sfreq))          # freq asc, index desc
+        ranked = surv[order2]
+        win = pos[ranked] // opts.global_winsize
+        # rank of each element within its window, in `ranked` order
+        worder = np.argsort(win, kind="stable")
+        wsorted = win[worder]
+        wstart = np.concatenate([[True], wsorted[1:] != wsorted[:-1]])
+        grp = np.cumsum(wstart) - 1
+        first_of_grp = np.nonzero(wstart)[0]
+        rank_in_win = np.arange(len(wsorted)) - first_of_grp[grp]
+        kept_mask_sorted = rank_in_win < opts.num_minimizers_per_window
+        kept_rows = ranked[worder[kept_mask_sorted]]
+        final = np.zeros(len(tuples), dtype=bool)
+        final[kept_rows] = True
+    else:
+        final = keep
+
+    return GlobalIndex(
+        k,
+        tuples[final],
+        pos[final].astype(np.uint32),
+        strand[final],
+        freq[final].astype(np.int32),
+    )

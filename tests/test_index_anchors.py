@@ -1,0 +1,69 @@
+import numpy as np
+
+from lra_tpu import preset, seq as sequtils
+from lra_tpu.anchors import find_matches
+from lra_tpu.index.global_index import build_global_index
+from lra_tpu.io.genome import Genome
+from lra_tpu.sim import random_genome, sample_read
+
+
+def make_genome(rng, n=20000, nchrom=2):
+    seqs = [("chr%d" % i, random_genome(rng, n // nchrom)) for i in range(nchrom)]
+    return Genome.from_seqs(seqs)
+
+
+def test_index_build_and_freq_filter(rng):
+    g = make_genome(rng)
+    opts = preset("ccs")
+    opts.global_winsize = 16
+    opts.num_minimizers_per_window = 5
+    idx = build_global_index(g, opts)
+    assert len(idx) > 0
+    # sorted by tuple
+    assert (np.diff(idx.tuples.astype(np.uint64).view(np.uint64)) >= 0).all()
+    # freq filter: no tuple multiplicity above cap
+    _, counts = np.unique(idx.tuples, return_counts=True)
+    assert counts.max() <= opts.global_max_freq
+    # thinning: no genome window holds more than the cap
+    wins = idx.pos // opts.global_winsize
+    assert np.bincount(wins).max() <= opts.num_minimizers_per_window
+
+
+def test_perfect_read_matches_forward(rng):
+    g = make_genome(rng, n=40000, nchrom=1)
+    opts = preset("ccs")
+    idx = build_global_index(g, opts)
+    read = sample_read(rng, g.codes, 3000, rev_prob=0.0)
+    fwd, rev = find_matches(read.codes, idx, opts)
+    assert len(fwd) > 10
+    # all forward matches of a perfect read lie on one diagonal
+    diag = fwd.tpos - fwd.qpos
+    best = np.bincount((diag - diag.min()).astype(np.int64)).argmax() + diag.min()
+    on = (diag == best).mean()
+    assert on > 0.95
+    assert best == read.chrom_pos
+
+
+def test_perfect_read_matches_reverse(rng):
+    g = make_genome(rng, n=40000, nchrom=1)
+    opts = preset("ccs")
+    idx = build_global_index(g, opts)
+    read = sample_read(rng, g.codes, 3000, rev_prob=1.0)
+    fwd, rev = find_matches(read.codes, idx, opts)
+    assert len(rev) > 10
+    assert len(rev) > len(fwd)
+    # reverse matches of a perfect read lie on one anti-diagonal:
+    # qpos + tpos ~ const
+    anti = rev.qpos + rev.tpos
+    spread = np.percentile(anti, 90) - np.percentile(anti, 10)
+    assert spread < 10
+
+
+def test_noisy_read_still_anchors(rng):
+    g = make_genome(rng, n=60000, nchrom=1)
+    opts = preset("ccs")
+    idx = build_global_index(g, opts)
+    read = sample_read(rng, g.codes, 5000, snp=0.002, ins=0.002, dele=0.002,
+                       rev_prob=0.0)
+    fwd, rev = find_matches(read.codes, idx, opts)
+    assert len(fwd) > 5

@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+
+from lra_tpu import seq as sequtils
+from lra_tpu.index.minimizers import kmer_codes, minimizers, _sliding_min
+
+
+def brute_kmer(codes, i, k):
+    v = 0
+    for j in range(k):
+        v = (v << 2) | int(codes[i + j] & 3)
+    return v
+
+
+def brute_rc_kmer(codes, i, k):
+    v = 0
+    for j in range(k - 1, -1, -1):
+        v = (v << 2) | (3 - int(codes[i + j] & 3))
+    return v
+
+
+def brute_minimizers(codes, k, w, canonical=True):
+    """Independent re-derivation: per-window leftmost min, distinct by pos."""
+    n = len(codes) - k + 1
+    if n < w:
+        return []
+    vals = []
+    for i in range(n):
+        f = brute_kmer(codes, i, k)
+        r = brute_rc_kmer(codes, i, k)
+        valid = all(codes[i + j] < 4 for j in range(k))
+        if canonical:
+            vals.append((min(f, r), int(r < f), valid))
+        else:
+            vals.append((f, 0, valid))
+    out = []
+    last_pos = None
+    for j in range(n - w + 1):
+        window = vals[j:j + w]
+        if not all(v[2] for v in window):
+            continue
+        best = min(range(w), key=lambda x: window[x][0])
+        pos = j + best
+        if pos != last_pos:
+            out.append((window[best][0], pos, window[best][1]))
+            last_pos = pos
+    return out
+
+
+@pytest.mark.parametrize("k,w", [(5, 3), (15, 10), (25, 20)])
+def test_minimizers_match_bruteforce(rng, k, w):
+    codes = rng.integers(0, 4, size=800).astype(np.uint8)
+    t, p, s = minimizers(codes, k, w)
+    expected = brute_minimizers(codes, k, w)
+    got = list(zip(t.tolist(), p.tolist(), s.tolist()))
+    assert got == expected
+    assert (np.diff(p.astype(np.int64)) > 0).all()
+
+
+def test_minimizers_skip_n_windows(rng):
+    codes = rng.integers(0, 4, size=300).astype(np.uint8)
+    codes[100:110] = 4  # N block
+    k, w = 15, 10
+    t, p, s = minimizers(codes, k, w)
+    expected = brute_minimizers(codes, k, w)
+    assert list(zip(t.tolist(), p.tolist(), s.tolist())) == expected
+    # no minimizer k-mer may overlap the N block
+    for pos in p:
+        assert pos + k <= 100 or pos >= 110
+
+
+def test_kmer_codes_first_base_high_bits():
+    codes = sequtils.encode("ACGTA")
+    fwd, rc, valid = kmer_codes(codes, 3)
+    # ACG = 0b000110
+    assert fwd[0] == 0b000110
+    # rc(ACG) = CGT = 0b011011
+    assert rc[0] == 0b011011
+    assert valid.all()
+
+
+def test_canonical_strand_consistency(rng):
+    """minimizers of revcomp(read) mirror those of the read."""
+    codes = rng.integers(0, 4, size=500).astype(np.uint8)
+    k, w = 15, 10
+    t_f, p_f, s_f = minimizers(codes, k, w)
+    t_r, p_r, s_r = minimizers(sequtils.revcomp(codes), k, w)
+    # canonical tuples are strand-invariant: the multisets largely coincide
+    # (window boundary effects at the ends can differ)
+    inter = np.intersect1d(t_f, t_r)
+    assert len(inter) >= 0.9 * min(len(t_f), len(t_r))
+
+
+def test_sliding_min_leftmost(rng):
+    vals = rng.integers(0, 10, size=200).astype(np.uint64)
+    for w in (2, 3, 7, 16):
+        mv, mp = _sliding_min(vals, w)
+        for j in range(len(vals) - w + 1):
+            window = vals[j:j + w]
+            assert mv[j] == window.min()
+            assert mp[j] == j + int(np.argmin(window))
