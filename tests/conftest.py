@@ -1,13 +1,19 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh; the real-TPU path is exercised by
-# bench.py and the driver's compile checks.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# bench.py and the driver's compile checks.  The axon sitecustomize forces
+# JAX_PLATFORMS=axon programmatically, so the env var alone is not enough —
+# we must also update the config after import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
