@@ -1,0 +1,155 @@
+"""Batched banded alignment on device.
+
+Device version of the banded-global variant of the reference's
+``AffineOneGapAlign`` (reference: AffineOneGapAlign.h:194-201 doubled-band
+case; the separated prefix/suffix one-long-gap case stays on host for now
+and is rare — it triggers only when |qLen-tLen| > 2k).
+
+Formulation: rows j = 1..T, the band is 2K+1 diagonal offsets d with
+i = j + d.  Within-row query-gap chains (LEFT arrows) are a max-plus
+prefix closure over d, computed with log2(band) doubling steps — no
+scalar inner loop.  Tie-break order (ins > del > match) and the i=0 /
+j=0 boundary initialization match the reference exactly, so host
+traceback over the emitted arrow planes reproduces the reference's op
+list.
+
+Layout: problems are bucketed by (Q, T, K) on host; all arrays here are
+fixed-shape [B, ...].  Arrows (int8 [B, T+1, 2K+1]) are downloaded for
+host traceback — O(band * T) bytes per problem.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.affine import DIAG, DONE, DOWN, LEFT, MISSING
+
+NEGF = jnp.float32(-1.0e30)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "m", "mm", "indel"))
+def banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel):
+    """q: int8[B,Q] codes, t: int8[B,T], qlen/tlen: int32[B].
+
+    Requires |qlen - tlen| <= K (bucketing invariant).  Returns
+    (score f32[B], arrows int8[B, T+1, 2K+1]) where arrows[b, j, d]
+    is the op at cell i = j + d - K.
+    """
+    B, Q = q.shape
+    T = t.shape[1]
+    band = 2 * K + 1
+    offs = jnp.arange(-K, K + 1, dtype=jnp.int32)  # d values
+
+    # pad query so gathers q[j-1-K .. j-1+K] are always in range
+    qpad = jnp.pad(q.astype(jnp.int32), ((0, 0), (K + 1, K + T + 1)),
+                   constant_values=5)
+
+    # row 0: P[i, 0] = indel*i for 0 <= i <= K (d = i)
+    row0 = jnp.where(offs >= 0, indel * offs.astype(jnp.float32), NEGF)
+    row0 = jnp.broadcast_to(row0, (B, band))
+    arrows0 = jnp.where(offs > 0, LEFT, jnp.where(offs == 0, DONE, -1)
+                        ).astype(jnp.int8)
+    arrows0 = jnp.broadcast_to(arrows0, (B, band))
+
+    log_steps = int(np.ceil(np.log2(band)))
+
+    def step(carry, j):
+        prev = carry  # f32[B, band], row j-1
+        # q codes at i-1 = j-1+d  -> slice qpad at offset (j-1-K) + (K+1)
+        qrow = jax.lax.dynamic_slice_in_dim(qpad, j, band, axis=1)  # [B, band]
+        sub = jnp.where(qrow == t[:, j - 1][:, None], float(m), float(mm))
+
+        sMat = prev + sub
+        # sDel: predecessor (i, j-1) at offset d+1 in row j-1
+        prev_shift = jnp.concatenate(
+            [prev[:, 1:], jnp.full((B, 1), NEGF)], axis=1)
+        sDel = prev_shift + float(indel)
+        base = jnp.maximum(sMat, sDel)
+
+        i_vals = j + offs[None, :]  # [1, band] broadcast
+        # boundary column i=0: P[0, j] = indel*j  (reference inits j <= k+1,
+        # beyond that the cell is out of band anyway)
+        is_i0 = (i_vals == 0)
+        base = jnp.where(is_i0, float(indel) * j, base)
+
+        # mask out-of-range cells before the closure so they can't seed it
+        valid = (i_vals >= 0) & (i_vals <= qlen[:, None]) & \
+                (j <= tlen[:, None])
+        base = jnp.where(valid, base, NEGF)
+
+        # LEFT-arrow closure: row[d] = max_e<=d base[e] + indel*(d-e)
+        row = base
+        for s in range(log_steps):
+            sh = 1 << s
+            shifted = jnp.concatenate(
+                [jnp.full((B, sh), NEGF), row[:, :-sh]], axis=1)
+            row = jnp.maximum(row, shifted + float(indel) * sh)
+        row = jnp.where(valid, row, NEGF)
+
+        # arrows with reference tie order: ins(LEFT) > del(DOWN) > mat(DIAG)
+        row_left = jnp.concatenate([jnp.full((B, 1), NEGF), row[:, :-1]],
+                                   axis=1)
+        arr = jnp.where(
+            row == row_left + float(indel), LEFT,
+            jnp.where(row == sDel, DOWN, DIAG)).astype(jnp.int8)
+        arr = jnp.where(is_i0, jnp.int8(DOWN), arr)
+        arr = jnp.where(valid, arr, jnp.int8(-1))
+
+        return row, (row, arr)
+
+    _, (rows, arrows) = jax.lax.scan(step, row0, jnp.arange(1, T + 1))
+    # rows: [T, B, band] -> final score at j = tlen, d = qlen - tlen
+    rows = jnp.concatenate([row0[None], rows], axis=0)      # [T+1, B, band]
+    arrows = jnp.concatenate([arrows0[None], arrows], axis=0)
+    d_final = (qlen - tlen + K).astype(jnp.int32)
+    score = rows[tlen, jnp.arange(B), d_final]
+    return score, jnp.transpose(arrows, (1, 0, 2))
+
+
+def traceback_banded(arrows: np.ndarray, qlen: int, tlen: int, K: int):
+    """Host traceback of one problem's arrow plane.
+
+    Returns (blocks, ops) like align.affine.affine_one_gap_align.
+    """
+    i, j = int(qlen), int(tlen)
+    ops: list = []
+    lengths: list = []
+    while i >= 0 and j >= 0:
+        d = i - j + K
+        if d < 0 or d >= arrows.shape[1]:
+            break
+        a = int(arrows[j, d])
+        if a in (DONE, -1):
+            break
+        if not ops or ops[-1] != a:
+            ops.append(a)
+            lengths.append(1)
+        else:
+            lengths[-1] += 1
+        if a == DIAG:
+            i -= 1
+            j -= 1
+        elif a == LEFT:
+            i -= 1
+        elif a == DOWN:
+            j -= 1
+        else:
+            break
+    blocks = []
+    out_ops = []
+    qPos = tPos = 0
+    for op, ln in zip(ops[::-1], lengths[::-1]):
+        if op == LEFT:
+            qPos += ln
+        elif op == DOWN:
+            tPos += ln
+        elif op == DIAG:
+            blocks.append((qPos, tPos, ln))
+            qPos += ln
+            tPos += ln
+        out_ops.append((op, ln))
+    return blocks, out_ops

@@ -1,0 +1,67 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lra_tpu.align.affine import affine_one_gap_align
+from lra_tpu.ops.affine_kernel import banded_global_kernel, traceback_banded
+
+M, MM, IND = 4, -3, -4
+
+
+def run_device(qs, ts, K):
+    B = len(qs)
+    Q = max(len(x) for x in qs)
+    T = max(len(x) for x in ts)
+    q = np.full((B, Q), 4, np.int8)
+    t = np.full((B, T), 4, np.int8)
+    for b, (a, c) in enumerate(zip(qs, ts)):
+        q[b, :len(a)] = a
+        t[b, :len(c)] = c
+    qlen = np.array([len(x) for x in qs], np.int32)
+    tlen = np.array([len(x) for x in ts], np.int32)
+    score, arrows = banded_global_kernel(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen),
+        K, M, MM, IND)
+    return np.asarray(score), np.asarray(arrows), qlen, tlen
+
+
+def test_device_matches_host_oracle(rng):
+    k = 10
+    qs, ts = [], []
+    for _ in range(16):
+        n = int(rng.integers(30, 120))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        q = t.copy()
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, len(q)))
+            q[p] = (q[p] + 1) % 4
+        # small indel inside the band
+        if rng.random() < 0.5 and len(q) > 20:
+            p = int(rng.integers(5, len(q) - 5))
+            q = np.delete(q, slice(p, p + int(rng.integers(1, 4))))
+        qs.append(q)
+        ts.append(t)
+
+    # host oracle doubles k in the banded-global regime; device K must match
+    K = 2 * k
+    score, arrows, qlen, tlen = run_device(qs, ts, K)
+    for b in range(len(qs)):
+        ref = affine_one_gap_align(qs[b], ts[b], M, MM, IND, k)
+        assert score[b] == ref.score, (b, score[b], ref.score)
+        blocks, ops = traceback_banded(arrows[b], qlen[b], tlen[b], K)
+        assert blocks == ref.blocks, (b, blocks, ref.blocks)
+
+
+def test_device_batch_padding_independence(rng):
+    """A problem's result must not depend on its batch neighbors."""
+    k = 8
+    t = rng.integers(0, 4, 60).astype(np.uint8)
+    q = t.copy()
+    q[10] = (q[10] + 1) % 4
+    s1, a1, ql, tl = run_device([q], [t], 2 * k)
+    s2, a2, _, _ = run_device([q, rng.integers(0, 4, 100).astype(np.uint8)],
+                              [t, rng.integers(0, 4, 90).astype(np.uint8)],
+                              2 * k)
+    assert s1[0] == s2[0]
+    b1, _ = traceback_banded(a1[0], ql[0], tl[0], 2 * k)
+    b2, _ = traceback_banded(a2[0], ql[0], tl[0], 2 * k)
+    assert b1 == b2
