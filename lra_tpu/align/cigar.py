@@ -1,0 +1,160 @@
+"""Block list -> CIGAR, alignment statistics, and the concave NV score.
+
+Vectorized equivalent of the reference's per-base string pipeline
+(reference: Alignment.h:247-332 ``CreateAlignmentStrings`` +
+Alignment.h:414-504 ``AlignStringsToCigar``): instead of materializing
+query/align/ref strings, ops are derived directly from the block list and
+2-bit code arrays.
+
+Gap convention between adjacent blocks (Alignment.h:292-330): with
+queryGap = q-jump and textGap = t-jump, the shorter is re-aligned
+base-to-base ("commonGap"), emitted after an I run (query excess) and a
+D run (text excess).
+
+Scoring (NV; Alignment.h:467-504): '='-run +len, 'X'-run -len, gap run of
+length L: L<=20 -> -L; L<=10001 -> -3*log(1+5*floor((L-1)/5)) - 1;
+L<=100001 -> -1000; else -2000.  The reference's indel-class counters have
+two quirks kept for tag parity: L==50 falls in no size class, and small
+insertions are double-counted (Alignment.h:484-489).
+
+Note: the reference swaps nins/ndel at the CalculateStatistics call site
+(Alignment.h:516 passes `ndel, nins` into parameters `nins, ndel`); we use
+the sane orientation (ndel = # D runs) — NM/MM tags are symmetric in them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..options import Options
+
+_LOG_TABLE = np.log(np.arange(1, 10002, 5).astype(np.float64)).astype(np.float32)
+
+
+@dataclass
+class AlnStats:
+    cigar: str = ""
+    nm: int = 0        # matched bases
+    nmm: int = 0       # mismatched bases
+    ndel: int = 0      # D runs
+    nins: int = 0      # I runs
+    tdel: int = 0      # total deleted bases
+    tins: int = 0      # total inserted bases
+    n_small_del: int = 0
+    n_med_del: int = 0
+    n_large_del: int = 0
+    n_small_ins: int = 0
+    n_med_ins: int = 0
+    n_large_ins: int = 0
+    value: float = 0.0
+
+
+def _runs_eq(a: np.ndarray, b: np.ndarray):
+    """Maximal runs of equality between two equal-length code arrays.
+    Returns list of (is_match, length)."""
+    if len(a) == 0:
+        return []
+    eq = a == b
+    out = []
+    changes = np.nonzero(np.diff(eq))[0]
+    prev = 0
+    for c in changes:
+        out.append((bool(eq[prev]), int(c + 1 - prev)))
+        prev = c + 1
+    out.append((bool(eq[prev]), int(len(eq) - prev)))
+    return out
+
+
+def blocks_to_ops(blocks, read: np.ndarray, chrom: np.ndarray,
+                  show_mismatch: bool = True):
+    """blocks: [(q, t, len)] ascending, q in strand frame.
+    Returns merged op run list [(op_char, len)]."""
+    ops: list = []
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1][1] += ln
+        else:
+            ops.append([op, ln])
+
+    def aligned(q, t, ln):
+        if show_mismatch:
+            for is_m, rl in _runs_eq(read[q:q + ln], chrom[t:t + ln]):
+                push("=" if is_m else "X", rl)
+        else:
+            push("M", ln)
+
+    for b, (q, t, ln) in enumerate(blocks):
+        aligned(q, t, ln)
+        if b == len(blocks) - 1:
+            break
+        qn, tn, _ = blocks[b + 1]
+        qgap = int(qn - q - ln)
+        tgap = int(tn - t - ln)
+        common = min(qgap, tgap)
+        qgap -= common
+        tgap -= common
+        qpos = q + ln
+        tpos = t + ln
+        push("I", qgap)
+        push("D", tgap)
+        if common > 0:
+            aligned(qpos + qgap, tpos + tgap, common)
+    return [(op, ln) for op, ln in ops]
+
+
+def score_ops(ops, read=None, chrom=None, blocks=None) -> AlnStats:
+    """CIGAR string + stats + NV from an op run list."""
+    st = AlnStats()
+    parts = []
+    val = 0.0
+    for op, ln in ops:
+        parts.append(f"{ln}{op}")
+        if op == "=":
+            st.nm += ln
+            val += ln
+        elif op == "X":
+            st.nmm += ln
+            val -= ln
+        elif op == "M":
+            st.nm += ln   # show_mismatch=False path: refined by caller
+            val += ln
+        elif op == "D":
+            st.tdel += ln
+            st.ndel += 1
+            if ln <= 10:
+                st.n_small_del += 1
+            if 10 < ln < 50:
+                st.n_med_del += 1
+            elif ln > 50:
+                st.n_large_del += 1
+            val += _gap_value(ln)
+        elif op == "I":
+            st.tins += ln
+            st.nins += 1
+            if ln <= 10:
+                st.n_small_ins += 1
+            if 10 < ln < 50:
+                st.n_med_ins += 1
+            elif ln > 50:
+                st.n_large_ins += 1
+            if ln <= 20:
+                st.n_small_ins += 1  # reference double-count quirk
+            val += _gap_value(ln)
+    st.value = float(val)
+    st.cigar = "".join(parts)
+    return st
+
+
+def _gap_value(ln: int) -> float:
+    if ln <= 20:
+        return -float(ln)
+    if ln <= 10001:
+        return float(-3.0 * _LOG_TABLE[(ln - 1) // 5] - 1.0)
+    if ln <= 100001:
+        return -1000.0
+    return -2000.0

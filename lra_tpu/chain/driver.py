@@ -1,0 +1,289 @@
+"""Chaining drivers: SDP-1 over split clusters, SDP-2 over merged anchors.
+
+Host-side wrappers around the device chaining kernel (ops/sdp.py) that
+reproduce the reference's fragment-insertion rules, scoring, and
+multi-chain traceback:
+
+* SDP-1 (reference: SparseDP.h:1956-2137): 4 points per split cluster
+  (both lanes), event coords (qStart+1, qEnd-1, tStart+1, tEnd-1), score =
+  split-cluster value * rate; ``DecidePrimaryChains``
+  (SparseDP.h:1586-1658): fragments by value desc, threshold
+  max(alnthres*best, best - 130*globalK), used-flag collision aborts a
+  candidate chain, >0.5% read-span requirement, NumAln cap.
+* SDP-2 (reference: SparseDP.h:1766-1953): one lane per strand over merged
+  same-diagonal anchor groups, score = group q-span * second_anchorbonus;
+  single best traceback.
+
+Batching: problems are padded to bucket sizes and dispatched in one
+device call per bucket; tiny problems run on the numpy oracle (device
+dispatch overhead dominates below ~64 fragments).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.gapcost import GapParams
+from ..ops.sdp import chain_scores, chain_scores_np
+from ..options import Options
+
+_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 8191) // 8192) * 8192
+
+
+@dataclass
+class ChainProblem:
+    """One chaining problem in kernel form (fragments sorted by qS)."""
+    qS: np.ndarray
+    qE: np.ndarray
+    tS: np.ndarray
+    tE: np.ndarray
+    score: np.ndarray
+    lane1: np.ndarray
+    lane2: np.ndarray
+    order: np.ndarray       # original fragment index per sorted row
+    tbase: int = 0
+    # results
+    V: np.ndarray | None = None
+    bp: np.ndarray | None = None
+    lane: np.ndarray | None = None
+
+
+def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
+    """Run chain DP for many problems, bucketed+batched on device."""
+    import jax.numpy as jnp
+
+    small = [p for p in problems if len(p.qS) < 64 or not use_device]
+    large = [p for p in problems if len(p.qS) >= 64 and use_device]
+    for p in small:
+        valid = np.ones(len(p.qS), bool)
+        p.V, p.bp, p.lane = chain_scores_np(
+            p.qS, p.qE, p.tS, p.tE, p.score, p.lane1, p.lane2, valid, gp)
+
+    by_bucket: dict = {}
+    for p in large:
+        by_bucket.setdefault(_bucket(len(p.qS)), []).append(p)
+    for N, plist in by_bucket.items():
+        B = len(plist)
+        def pad(attr, dtype, fill=0):
+            out = np.full((B, N), fill, dtype)
+            for b, p in enumerate(plist):
+                a = getattr(p, attr)
+                out[b, :len(a)] = a
+            return out
+        qS = pad("qS", np.int32)
+        qE = pad("qE", np.int32, fill=2**30)   # padding never a predecessor
+        tS = pad("tS", np.int32)
+        tE = pad("tE", np.int32)
+        sc = pad("score", np.float32)
+        l1 = pad("lane1", bool, fill=False)
+        l2 = pad("lane2", bool, fill=False)
+        valid = np.zeros((B, N), bool)
+        for b, p in enumerate(plist):
+            valid[b, :len(p.qS)] = True
+        V, bp, lane = chain_scores(
+            jnp.asarray(qS), jnp.asarray(qE), jnp.asarray(tS),
+            jnp.asarray(tE), jnp.asarray(sc), jnp.asarray(l1),
+            jnp.asarray(l2), jnp.asarray(valid),
+            jnp.asarray(gp.slope), jnp.asarray(gp.inter),
+            gp.ceiling1, gp.ceiling2)
+        V, bp, lane = np.asarray(V), np.asarray(bp), np.asarray(lane)
+        for b, p in enumerate(plist):
+            n = len(p.qS)
+            p.V, p.bp, p.lane = V[b, :n].copy(), bp[b, :n].copy(), \
+                lane[b, :n].copy()
+
+
+@dataclass
+class PrimaryChain:
+    ch: list                 # fragment indices, chain END first (reference order)
+    link: np.ndarray         # lane-2 edge markers, len(ch)-1
+    value: float
+    num_anchors: int
+    qStart: int = 0
+    qEnd: int = 0
+    tStart: int = 0
+    tEnd: int = 0
+
+
+def make_sdp1_problem(split, rate: float, gp: GapParams) -> ChainProblem:
+    n = len(split)
+    qS = np.array([s.qStart + 1 for s in split], np.int64)
+    qE = np.array([s.qEnd - 1 for s in split], np.int64)
+    tS0 = np.array([s.tStart + 1 for s in split], np.int64)
+    tE0 = np.array([s.tEnd - 1 for s in split], np.int64)
+    tbase = int(tS0.min()) if n else 0
+    score = np.array([s.value * rate for s in split], np.float32)
+    order = np.argsort(qS, kind="stable")
+    return ChainProblem(qS[order].astype(np.int64), qE[order].astype(np.int64),
+                        (tS0[order] - tbase), (tE0[order] - tbase),
+                        score[order],
+                        np.ones(n, bool), np.ones(n, bool),
+                        order, tbase)
+
+
+def decide_primary_chains(p: ChainProblem, split, opts: Options,
+                          read_len: int) -> list:
+    """reference: DecidePrimaryChains (SparseDP.h:1586-1658)."""
+    n = len(p.qS)
+    if n == 0 or p.V is None:
+        return []
+    used = np.zeros(n, bool)
+    by_val = np.argsort(-p.V, kind="stable")
+    best = float(p.V[by_val[0]])
+    thres = max(opts.aln_thres * best, best - 130 * opts.global_k)
+    chains: list[PrimaryChain] = []
+    fv = 0
+    while fv < n and p.V[by_val[fv]] >= thres:
+        d = int(by_val[fv])
+        onechain: list[int] = []
+        links: list[int] = []
+        i = d
+        aborted = used[i]
+        while not aborted and i >= 0:
+            onechain.append(i)
+            used[i] = True
+            j = int(p.bp[i])
+            if j >= 0:
+                if used[j]:
+                    aborted = True
+                    break
+                links.append(1 if p.lane[i] == 2 else 0)
+            i = j
+        if aborted:
+            for x in onechain:
+                used[x] = False
+            fv += 1
+            continue
+        if onechain:
+            frag = [int(p.order[i]) for i in onechain]   # end-first order
+            qE = max(split[f].qEnd for f in frag)
+            qS = min(split[f].qStart for f in frag)
+            tE = max(split[f].tEnd for f in frag)
+            tS = min(split[f].tStart for f in frag)
+            if (qE - qS) / read_len > 0.005:
+                num_anchors = sum(split[f].num_anchors for f in frag)
+                if not chains:
+                    chains.append(PrimaryChain(frag, np.array(links, bool),
+                                               float(p.V[d]), num_anchors,
+                                               qS, qE, tS, tE))
+                elif len(chains) < opts.num_aln:
+                    chains.append(PrimaryChain(frag, np.array(links, bool),
+                                               float(p.V[d]), num_anchors,
+                                               qS, qE, tS, tE))
+                else:
+                    break
+            else:
+                break
+        fv += 1
+    return chains
+
+
+def switchindex(chains: list, split, clusters: list) -> None:
+    """Map split-cluster chains back to coarse clusters, dedupe repeats,
+    compress interleavings, drop q-covered clusters
+    (reference: Mapping_ultility.h:40-169)."""
+    for ch in chains:
+        coarse = [split[f].coarse for f in ch.ch]
+        links = list(ch.link)
+        # drop consecutive duplicates (and their links)
+        newch, newlink = [], []
+        for i, c in enumerate(coarse):
+            if newch and c == newch[-1]:
+                continue
+            if newch:
+                newlink.append(links[i - 1] if i - 1 < len(links) else False)
+            newch.append(c)
+        # compress repeated non-consecutive occurrences: keep first run only
+        seen_first: dict = {}
+        first_end: dict = {}
+        for i, c in enumerate(newch):
+            if c in seen_first:
+                first_end[c] = i + 1
+            else:
+                seen_first[c] = i
+                first_end[c] = i + 1
+        spans = sorted((s, first_end[c]) for c, s in seen_first.items()
+                       if first_end[c] > s + 1)
+        if spans:
+            keep, klink = [], []
+            nc = 0
+            for (s, e) in spans:
+                while nc <= s:
+                    keep.append(newch[nc])
+                    if len(keep) > 1:
+                        klink.append(newlink[nc - 1])
+                    nc += 1
+                nc = e
+            while nc < len(newch):
+                keep.append(newch[nc])
+                if len(keep) > 1:
+                    klink.append(newlink[nc - 1])
+                nc += 1
+            newch, newlink = keep, klink
+        # remove clusters fully q-covered by their predecessor
+        out, olink = [], []
+        removed_prev = True
+        for i, c in enumerate(newch):
+            if (out and not removed_prev
+                    and clusters[c].qStart >= clusters[out[-1]].qStart
+                    and clusters[c].qEnd <= clusters[out[-1]].qEnd):
+                removed_prev = True
+                continue
+            if out:
+                olink.append(newlink[i - 1] if i - 1 < len(newlink) else False)
+            out.append(c)
+            removed_prev = False
+        ch.ch = out
+        ch.link = np.array(olink, bool)
+
+
+def make_sdp2_problem(qpos, tpos, lengths, strand: int, starts, ends,
+                      bonus: float) -> ChainProblem:
+    """Merged same-diagonal groups -> kernel fragments (2-point insertion).
+
+    qpos/tpos/lengths: anchors of ONE extended cluster (single strand);
+    starts/ends: group slices from merge_same_diag.
+    """
+    g = len(starts)
+    q_first = qpos[starts]
+    q_last = qpos[ends - 1] + lengths[ends - 1]
+    span = np.maximum(q_last - q_first, 0)
+    if strand == 0:
+        tS = tpos[starts]
+    else:
+        tS = tpos[ends - 1]
+    qS = q_first
+    qE = q_first + span
+    tE = tS + span
+    score = (span * bonus).astype(np.float32)
+    lane1 = np.full(g, strand == 0)
+    lane2 = np.full(g, strand == 1)
+    order = np.argsort(qS, kind="stable")
+    tbase = int(tS.min()) if g else 0
+    return ChainProblem(qS[order], qE[order], tS[order] - tbase,
+                        tE[order] - tbase, score[order],
+                        lane1[order], lane2[order], order, tbase)
+
+
+def best_chain(p: ChainProblem) -> list:
+    """Single best traceback; returns original fragment indices, chain END
+    first (reference order)."""
+    if p.V is None or len(p.V) == 0:
+        return []
+    i = int(np.argmax(p.V))
+    if not np.isfinite(p.V[i]) or p.V[i] <= 0:
+        return []
+    out = []
+    while i >= 0:
+        out.append(int(p.order[i]))
+        i = int(p.bp[i])
+    return out

@@ -32,28 +32,34 @@ NEGF = jnp.float32(-1.0e30)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "m", "mm", "indel"))
-def banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel):
+def banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel, kband=None):
     """q: int8[B,Q] codes, t: int8[B,T], qlen/tlen: int32[B].
 
-    Requires |qlen - tlen| <= K (bucketing invariant).  Returns
-    (score f32[B], arrows int8[B, T+1, 2K+1]) where arrows[b, j, d]
-    is the op at cell i = j + d - K.
+    kband: optional int32[B] per-problem band halfwidth <= K (cells with
+    |i - j| > kband are rails); defaults to K.  Requires
+    |qlen - tlen| <= kband.  Returns (score f32[B],
+    arrows int8[B, T+1, 2K+1]) where arrows[b, j, d] is the op at cell
+    i = j + d - K.
     """
     B, Q = q.shape
     T = t.shape[1]
     band = 2 * K + 1
     offs = jnp.arange(-K, K + 1, dtype=jnp.int32)  # d values
+    if kband is None:
+        kband = jnp.full((B,), K, dtype=jnp.int32)
+    in_band = (offs[None, :] >= -kband[:, None]) & \
+              (offs[None, :] <= kband[:, None])    # [B, band]
 
     # pad query so gathers q[j-1-K .. j-1+K] are always in range
     qpad = jnp.pad(q.astype(jnp.int32), ((0, 0), (K + 1, K + T + 1)),
                    constant_values=5)
 
-    # row 0: P[i, 0] = indel*i for 0 <= i <= K (d = i)
-    row0 = jnp.where(offs >= 0, indel * offs.astype(jnp.float32), NEGF)
-    row0 = jnp.broadcast_to(row0, (B, band))
-    arrows0 = jnp.where(offs > 0, LEFT, jnp.where(offs == 0, DONE, -1)
-                        ).astype(jnp.int8)
-    arrows0 = jnp.broadcast_to(arrows0, (B, band))
+    # row 0: P[i, 0] = indel*i for 0 <= i <= kband (d = i)
+    row0 = jnp.where((offs[None, :] >= 0) & in_band,
+                     indel * offs[None, :].astype(jnp.float32), NEGF)
+    arrows0 = jnp.where(offs[None, :] > 0, LEFT,
+                        jnp.where(offs[None, :] == 0, DONE, -1)).astype(jnp.int8)
+    arrows0 = jnp.where(in_band, arrows0, jnp.int8(-1))
 
     log_steps = int(np.ceil(np.log2(band)))
 
@@ -78,7 +84,7 @@ def banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel):
 
         # mask out-of-range cells before the closure so they can't seed it
         valid = (i_vals >= 0) & (i_vals <= qlen[:, None]) & \
-                (j <= tlen[:, None])
+                (j <= tlen[:, None]) & in_band
         base = jnp.where(valid, base, NEGF)
 
         # LEFT-arrow closure: row[d] = max_e<=d base[e] + indel*(d-e)

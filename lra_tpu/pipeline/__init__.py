@@ -1,0 +1,40 @@
+"""Alignment pipelines."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import seq as sequtils
+from ..index.global_index import GlobalIndex, build_global_index
+from ..io.genome import Genome
+from ..io.sam import sam_header, sam_record, unmapped_record
+from ..options import Options
+from .highacc import map_batch
+
+
+def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
+                use_device: bool = True):
+    """Align a batch of reads; returns (states, sam_lines).
+
+    reads: iterable of (name, seq) where seq is str/bytes/uint8-codes.
+    """
+    prepared = []
+    for item in reads:
+        name, s = item[0], item[1]
+        qual = item[2] if len(item) > 2 else None
+        codes = s if isinstance(s, np.ndarray) else sequtils.encode(s)
+        prepared.append((name, codes, qual))
+    states = map_batch(prepared, genome, index, opts, use_device)
+    lines = []
+    for st in states:
+        if st.unaligned or not st.groups:
+            lines.append(unmapped_record(st.name, st.codes, st.qual))
+            continue
+        for a, group in enumerate(st.groups):
+            if a >= opts.print_num_aln:
+                break
+            for s_i in range(len(group.segments) - 1, -1, -1):
+                seg = group.segments[s_i]
+                lines.append(sam_record(seg, st.name, st.codes, st.rc,
+                                        genome, opts, group, s_i, st.qual))
+    return states, lines

@@ -1,0 +1,379 @@
+"""High-accuracy (CCS/CONTIG) batch alignment pipeline.
+
+Orchestrates the stages of the reference's ``MapRead_highacc``
+(reference: Map_highacc.h:37-798) over a *batch* of reads so the numeric
+cores run as batched device kernels:
+
+  host:   minimizers -> anchors -> fine clusters -> split clusters
+  device: SDP-1 (chaining over split clusters), batched across reads
+  host:   primary chains, switch to coarse clusters, t-rebasing,
+          linear extension, same-diagonal merging
+  device: SDP-2 (chaining over merged anchors), batched across chains
+  host:   chain cleaning, strand segmentation
+  device: banded gap alignment, batched across all gaps
+  host:   block assembly, CIGAR/stats, MAPQ, SAM records
+
+Round-1 scope notes (vs the full reference flow): local-index cluster
+refinement (REFINEclusters) and gap reseeding with the forward-only 3rd
+SDP (RefineSpace/RefineBtwnSpace) are not yet wired — large gaps go
+straight to the one-gap aligner; the HighlyAccurate fast path (which
+skips refinement, Map_highacc.h:429-461) is the one implemented, which is
+the production path for CCS/CONTIG on non-sparse reads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import seq as sequtils
+from ..align.cigar import blocks_to_ops, score_ops
+from ..align.extend import (linear_extend_cluster, merge_same_diag,
+                            trim_overlapped_anchors)
+from ..align.mapq import set_mapq
+from ..align.segment import SegGroup, Segment, order_groups
+from ..anchors import find_matches
+from ..chain.cleaners import (AnchorChain, remove_paired_indels,
+                              remove_small_paired_indels,
+                              remove_spurious_anchors)
+from ..chain.driver import (ChainProblem, best_chain, decide_primary_chains,
+                            make_sdp1_problem, solve_problems, switchindex)
+from ..cluster.fine import matches_to_fine_clusters
+from ..cluster.split import decide_split_values, split_clusters
+from ..cluster.types import Cluster
+from ..index.global_index import GlobalIndex
+from ..io.genome import Genome
+from ..ops.gapcost import from_options
+from ..options import Options
+from .gap_align import GapJob, solve_gap_jobs
+
+
+@dataclass
+class ReadState:
+    name: str
+    codes: np.ndarray
+    qual: bytes | None = None
+    rc: np.ndarray | None = None
+    clusters: list = field(default_factory=list)
+    split: list = field(default_factory=list)
+    sdp1: object = None
+    chains: list = field(default_factory=list)
+    ext: list = field(default_factory=list)        # per chain: ext clusters
+    sdp2: list = field(default_factory=list)       # per chain: ChainProblem
+    groups: list = field(default_factory=list)
+    unaligned: bool = False
+
+
+@dataclass
+class ExtCluster:
+    qpos: np.ndarray
+    tpos: np.ndarray          # chrom-local
+    lengths: np.ndarray
+    overlap: np.ndarray
+    strand: int
+    chrom: int
+    g_start: np.ndarray = None   # merged-group slices
+    g_end: np.ndarray = None
+
+
+def _make_sdp2_problem(ext_clusters: list, bonus: float):
+    """One SDP-2 problem over the merged groups of all clusters in a
+    chain (reference: SparseDP.h:1766-1953, 2-point per-strand
+    insertion; score = group q-span * second_anchorbonus)."""
+    qS, qE, tS, tE, sc, l1, l2 = [], [], [], [], [], [], []
+    backref = []   # (cluster_idx_in_chain, group_idx)
+    for ci, ec in enumerate(ext_clusters):
+        if len(ec.qpos) == 0:
+            continue
+        s, e = ec.g_start, ec.g_end
+        q_first = ec.qpos[s]
+        q_last = ec.qpos[e - 1] + ec.lengths[e - 1]
+        span = np.maximum(q_last - q_first, 0)
+        t0 = ec.tpos[s] if ec.strand == 0 else ec.tpos[e - 1]
+        qS.append(q_first)
+        qE.append(q_first + span)
+        tS.append(t0)
+        tE.append(t0 + span)
+        sc.append(span.astype(np.float32) * bonus)
+        l1.append(np.full(len(s), ec.strand == 0))
+        l2.append(np.full(len(s), ec.strand == 1))
+        backref.extend((ci, gi) for gi in range(len(s)))
+    if not qS:
+        return None, []
+    qS = np.concatenate(qS).astype(np.int64)
+    qE = np.concatenate(qE).astype(np.int64)
+    tS = np.concatenate(tS).astype(np.int64)
+    tE = np.concatenate(tE).astype(np.int64)
+    sc = np.concatenate(sc)
+    l1 = np.concatenate(l1)
+    l2 = np.concatenate(l2)
+    order = np.argsort(qS, kind="stable")
+    tbase = int(tS.min())
+    p = ChainProblem(qS[order], qE[order], tS[order] - tbase,
+                     tE[order] - tbase, sc[order], l1[order], l2[order],
+                     order, tbase)
+    return p, backref
+
+
+def _expand_chain(chain_frag_ids, backref, ext_clusters):
+    """Merged-group chain -> original-anchor chain, end-first order
+    (reference: SwitchToOriginalAnchors, LocalRefineAlignment.h:188-200)."""
+    q, t, ln, st, cl = [], [], [], [], []
+    for f in chain_frag_ids:           # already end-first
+        ci, gi = backref[f]
+        ec = ext_clusters[ci]
+        s, e = int(ec.g_start[gi]), int(ec.g_end[gi])
+        for j in range(e - 1, s - 1, -1):
+            q.append(int(ec.qpos[j]))
+            t.append(int(ec.tpos[j]))
+            ln.append(int(ec.lengths[j]))
+            st.append(ec.strand)
+            cl.append(ci)
+    return AnchorChain(np.array(q, np.int64), np.array(t, np.int64),
+                       np.array(ln, np.int64), np.array(st, np.uint8),
+                       np.array(cl, np.int64))
+
+
+def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
+              use_device: bool = True) -> list:
+    """reads: list of (name, codes, qual|None).  Returns list of ReadState
+    with .groups filled (SAM emission is io/sam.py's job)."""
+    gp = from_options(opts)
+    states = [ReadState(n, c, q) for (n, c, q) in reads]
+
+    # ---- host: anchors -> clusters -> split clusters ----
+    sdp1_problems = []
+    for st in states:
+        fwd, rev = find_matches(st.codes, index, opts)
+        if len(fwd) == 0 and len(rev) == 0:
+            st.unaligned = True
+            continue
+        st.clusters = (matches_to_fine_clusters(fwd.qpos, fwd.tpos, opts,
+                                                genome, index.k, 0)
+                       + matches_to_fine_clusters(rev.qpos, rev.tpos, opts,
+                                                  genome, index.k, 1))
+        if not st.clusters:
+            st.unaligned = True
+            continue
+        st.split = split_clusters(st.clusters, opts)
+        decide_split_values(st.clusters, st.split, opts)
+        if not st.split:
+            st.unaligned = True
+            continue
+        rate = opts.initial_anchorbonus
+        if len(st.split) / len(st.clusters) > 20:
+            rate /= 2.0   # repetitive region (reference: Map_highacc.h:227)
+        st.sdp1 = make_sdp1_problem(st.split, rate, gp)
+        sdp1_problems.append(st.sdp1)
+
+    # ---- device: SDP-1 ----
+    solve_problems(sdp1_problems, gp, use_device)
+
+    # ---- host: chains -> extension -> SDP-2 problems ----
+    sdp2_problems = []
+    K = index.k
+    starts = genome.starts()
+    for st in states:
+        if st.unaligned or st.sdp1 is None:
+            st.unaligned = True
+            continue
+        chains = decide_primary_chains(st.sdp1, st.split, opts,
+                                       len(st.codes))
+        if not chains:
+            st.unaligned = True
+            continue
+        switchindex(chains, st.split, st.clusters)
+        chains = [c for c in chains if c.ch]
+        if not chains:
+            st.unaligned = True
+            continue
+        st.chains = chains
+        st.rc = sequtils.revcomp(st.codes)
+        for ch in chains:
+            exts = []
+            for pos, ci in enumerate(ch.ch):
+                c = st.clusters[ci]
+                chrom = c.chrom
+                off = int(starts[chrom])
+                # rebase t to chrom-local for extension
+                local = Cluster(c.qpos, c.tpos - off, c.strand, c.k,
+                                c.anchorfreq, chrom)
+                chrom_codes = genome.codes[starts[chrom]:genome.ends[chrom]]
+                # overlap points from neighbor clusters (q/t boundaries)
+                pts = []
+                if c.anchorfreq <= 1.1:
+                    for nb in (pos - 1, pos + 1):
+                        if 0 <= nb < len(ch.ch):
+                            nc = st.clusters[ch.ch[nb]]
+                            for qb in (nc.qStart, nc.qEnd):
+                                if c.qStart < qb < c.qEnd:
+                                    pts.append((qb, False))
+                            for tb in (nc.tStart - off, nc.tEnd - off):
+                                if c.tStart - off < tb < c.tEnd - off:
+                                    pts.append((tb, True))
+                q, t, ln, ovp = linear_extend_cluster(
+                    local, st.codes, chrom_codes, K, pts)
+                trim_overlapped_anchors(q, t, ln, c.strand)
+                keep = ln > 0
+                q, t, ln, ovp = q[keep], t[keep], ln[keep], ovp[keep]
+                gs, ge = merge_same_diag(q, t, ln, ovp, c.strand,
+                                         opts.merge_dist)
+                exts.append(ExtCluster(q, t, ln, ovp, c.strand, chrom,
+                                       gs, ge))
+            p, backref = _make_sdp2_problem(exts, opts.second_anchorbonus)
+            st.ext.append((exts, backref))
+            st.sdp2.append(p)
+            if p is not None:
+                sdp2_problems.append(p)
+
+    # ---- device: SDP-2 ----
+    solve_problems(sdp2_problems, gp, use_device)
+
+    # ---- host: final chains -> segments + gap jobs ----
+    gap_jobs = []
+    for si, st in enumerate(states):
+        if st.unaligned:
+            continue
+        for hi, ch in enumerate(st.chains):
+            p = st.sdp2[hi]
+            exts, backref = st.ext[hi]
+            if p is None:
+                continue
+            frag_chain = best_chain(p)
+            if not frag_chain:
+                continue
+            ac = _expand_chain(frag_chain, backref, exts)
+            if opts.remove_paired_indels:
+                remove_small_paired_indels(ac)
+                remove_paired_indels(ac, opts.refine_end)
+            if opts.remove_spurious_anchors:
+                remove_spurious_anchors(ac)
+            if len(ac) == 0:
+                continue
+            ac.second_sdp_value = float(np.max(p.V))
+            group = SegGroup()
+            _assemble_segments(st, ch, ac, exts, genome, opts, group,
+                               gap_jobs, si, len(st.groups))
+            if group.segments:
+                st.groups.append(group)
+
+    # ---- device: gap alignment ----
+    solve_gap_jobs(gap_jobs, opts, use_device)
+
+    # ---- host: insert gap blocks, stats, mapq ----
+    by_key: dict = {}
+    for job in gap_jobs:
+        by_key.setdefault(job.key[:3], []).append(job)
+    starts_g = genome.starts()
+    for si, st in enumerate(states):
+        if st.unaligned or not st.groups:
+            st.unaligned = True
+            st.groups = []
+            continue
+        for gi, group in enumerate(st.groups):
+            for zi, seg in enumerate(group.segments):
+                jobs = by_key.get((si, gi, zi), [])
+                _insert_gap_blocks(seg, jobs)
+                chrom_codes = genome.codes[
+                    starts_g[seg.chrom]:genome.ends[seg.chrom]]
+                read = st.rc if seg.strand == 1 else st.codes
+                ops = blocks_to_ops(seg.blocks, read, chrom_codes,
+                                    opts.show_mismatch)
+                seg.stats = score_ops(ops)
+                seg.value = seg.stats.value
+            group.finalize()
+        st.groups = order_groups(st.groups)
+        set_mapq(st.groups, opts)
+        # AO order per group (reference: OUTPUT, Mapping_ultility.h:465)
+        for group in st.groups:
+            nseg = len(group.segments)
+            for s_i, seg in enumerate(group.segments):
+                seg.order = nseg - 1 - s_i
+    return states
+
+
+def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
+                       group: SegGroup, gap_jobs: list, si: int, gi: int):
+    """Walk the cleaned anchor chain, split by strand, emit anchor blocks,
+    and queue gap jobs.  Anchors arrive end-first (descending q)."""
+    n = len(ac)
+    read_len = len(st.codes)
+    # segment boundaries at strand flips (reference: SeparateChainByStrand)
+    seg_bounds = [0]
+    for i in range(1, n):
+        if ac.strand[i] != ac.strand[i - 1]:
+            seg_bounds.append(i)
+    seg_bounds.append(n)
+
+    zi = 0
+    for bi in range(len(seg_bounds) - 1):
+        lo, hi_ = seg_bounds[bi], seg_bounds[bi + 1]
+        strand = int(ac.strand[lo])
+        chrom = exts[ac.cluster[lo]].chrom
+        chrom_codes = genome.codes[genome.starts()[chrom]:genome.ends[chrom]]
+        q = ac.qpos[lo:hi_]
+        t = ac.tpos[lo:hi_]
+        ln = ac.length[lo:hi_]
+        # walk order: ascending output coordinate
+        if strand == 0:
+            order = np.argsort(q, kind="stable")
+        else:
+            order = np.argsort(-q, kind="stable")
+        q, t, ln = q[order], t[order], ln[order]
+        seg = Segment([], strand, chrom, read_len)
+        seg.num_anchors0 = ch.num_anchors
+        seg.num_anchors1 = hi_ - lo
+        seg.first_sdp_value = ch.value
+        seg.second_sdp_value = ac.second_sdp_value
+        seg.is_supplementary = bi > 0
+        read = st.rc if strand == 1 else st.codes
+        prev_q_end = prev_t_end = None
+        for i in range(len(q)):
+            if strand == 0:
+                bq = int(q[i])
+            else:
+                bq = read_len - int(q[i]) - int(ln[i])
+            bt = int(t[i])
+            bl = int(ln[i])
+            if prev_q_end is not None:
+                # clip overlaps defensively (cleaners should prevent them)
+                if bq < prev_q_end or bt < prev_t_end:
+                    shift = max(prev_q_end - bq, prev_t_end - bt)
+                    bq += shift
+                    bt += shift
+                    bl -= shift
+                    if bl <= 0:
+                        continue
+                rgap = bq - prev_q_end
+                tgap = bt - prev_t_end
+                if rgap > 0 and tgap > 0:
+                    gap_jobs.append(GapJob(
+                        read[prev_q_end:bq].copy(),
+                        chrom_codes[prev_t_end:bt].copy(),
+                        (si, gi, zi, prev_q_end, prev_t_end)))
+            seg.blocks.append((bq, bt, bl))
+            prev_q_end = bq + bl
+            prev_t_end = bt + bl
+        if seg.blocks:
+            group.segments.append(seg)
+            zi += 1
+
+
+def _insert_gap_blocks(seg: Segment, jobs: list) -> None:
+    """Splice solved gap blocks (relative coords) into the segment's block
+    list and restore (q, t) order."""
+    if jobs:
+        for job in jobs:
+            q_off, t_off = job.key[3], job.key[4]
+            for (bq, bt, bl) in job.blocks or []:
+                seg.blocks.append((q_off + bq, t_off + bt, bl))
+        seg.blocks.sort(key=lambda b: (b[0], b[1]))
+    # defensive monotonicity: drop blocks breaking q/t order
+    out = []
+    pq = pt = -1
+    for (bq, bt, bl) in seg.blocks:
+        if bq >= pq and bt >= pt:
+            out.append((bq, bt, bl))
+            pq, pt = bq + bl, bt + bl
+    seg.blocks = out

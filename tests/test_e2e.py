@@ -1,0 +1,152 @@
+"""End-to-end pipeline tests: simulated reads -> SAM."""
+
+import re
+
+import numpy as np
+import pytest
+
+from lra_tpu import preset, seq as sequtils
+from lra_tpu.index.global_index import build_global_index
+from lra_tpu.io.genome import Genome
+from lra_tpu.pipeline import align_reads
+from lra_tpu.sim import random_genome, sample_read
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(42)
+    g = Genome.from_seqs([("chr1", random_genome(rng, 150000)),
+                          ("chr2", random_genome(rng, 100000))])
+    opts = preset("ccs")
+    idx = build_global_index(g, opts)
+    return rng, g, opts, idx
+
+
+def parse_sam(line):
+    f = line.split("\t")
+    return dict(name=f[0], flag=int(f[1]), chrom=f[2], pos=int(f[3]),
+                mapq=int(f[4]), cigar=f[5], seq=f[9],
+                tags={x.split(":")[0]: x for x in f[11:]})
+
+
+def cigar_spans(cig):
+    """(read_span, ref_span, clip_pre, clip_suf, counts by op)"""
+    ops = re.findall(r"(\d+)([MIDNSHP=X])", cig)
+    rspan = tspan = pre = suf = 0
+    counts = {}
+    for i, (ln, op) in enumerate(ops):
+        ln = int(ln)
+        counts[op] = counts.get(op, 0) + ln
+        if op in "M=XI":
+            rspan += ln
+        if op in "M=XD":
+            tspan += ln
+        if op in "SH":
+            if i == 0:
+                pre = ln
+            else:
+                suf = ln
+    return rspan, tspan, pre, suf, counts
+
+
+@pytest.mark.parametrize("use_device", [False, True])
+def test_perfect_reads(world, use_device):
+    rng, g, opts, idx = world
+    reads = []
+    truths = []
+    for i in range(6):
+        r = sample_read(rng, g.codes, 4000, rev_prob=0.5)
+        reads.append((f"r{i}", r.codes))
+        truths.append(r)
+    states, lines = align_reads(reads, g, idx, opts, use_device=use_device)
+    recs = [parse_sam(l) for l in lines]
+    by_name = {}
+    for r in recs:
+        by_name.setdefault(r["name"], []).append(r)
+    for i, tr in enumerate(truths):
+        rs = by_name[f"r{i}"]
+        primary = [r for r in rs if r["flag"] & 0x904 == 0 or
+                   (r["flag"] & ~0x10) == 0]
+        assert primary, rs
+        r = primary[0]
+        # position: chrom-local truth
+        ci = int(g.chrom_of(tr.chrom_pos))
+        local = tr.chrom_pos - int(g.starts()[ci])
+        assert r["chrom"] == g.names[ci]
+        assert abs(r["pos"] - 1 - local) < 40
+        rspan, tspan, pre, suf, counts = cigar_spans(r["cigar"])
+        # perfect read: almost all '='
+        assert counts.get("=", 0) > 0.97 * len(tr.codes)
+        assert counts.get("X", 0) < 0.01 * len(tr.codes)
+        assert (r["flag"] & 0x10 == 0x10) == (tr.strand == 1)
+        assert r["mapq"] > 0
+
+
+def test_noisy_reads_cigar_consistency(world):
+    rng, g, opts, idx = world
+    reads = []
+    truths = []
+    for i in range(6):
+        r = sample_read(rng, g.codes, 5000, snp=0.005, ins=0.002, dele=0.002,
+                        rev_prob=0.5)
+        reads.append((f"n{i}", r.codes))
+        truths.append(r)
+    states, lines = align_reads(reads, g, idx, opts, use_device=False)
+    aligned = 0
+    for line in lines:
+        r = parse_sam(line)
+        if r["flag"] & 4:
+            continue
+        aligned += 1
+        i = int(r["name"][1:])
+        tr = truths[i]
+        rspan, tspan, pre, suf, counts = cigar_spans(r["cigar"])
+        # CIGAR read-span consistency (clips + aligned = read length)
+        assert rspan + pre + suf == len(tr.codes), r["cigar"][:100]
+        # identity is high
+        total = counts.get("=", 0) + counts.get("X", 0)
+        assert counts.get("=", 0) / total > 0.97
+        # NM tag present and plausible
+        assert "NM" in r["tags"]
+    assert aligned >= 5
+
+
+def test_split_read_supplementary(world):
+    """A read stitched from two distant loci yields >1 SAM segment."""
+    rng, g, opts, idx = world
+    a = g.codes[20000:26000]
+    b = g.codes[90000:96000]
+    read = np.concatenate([a, b])
+    states, lines = align_reads([("split1", read)], g, idx, opts,
+                                use_device=False)
+    recs = [parse_sam(l) for l in lines]
+    mapped = [r for r in recs if not r["flag"] & 4]
+    assert len(mapped) >= 1
+    # both loci covered across the segments
+    spans = []
+    for r in mapped:
+        rspan, tspan, pre, suf, _ = cigar_spans(r["cigar"])
+        spans.append((r["pos"], r["pos"] + tspan))
+    covered_a = any(abs(s - 20001) < 200 for s, e in spans)
+    covered_b = any(abs(s - 90001) < 200 for s, e in spans)
+    assert covered_a or covered_b
+
+
+def test_unmapped_read(world):
+    rng, g, opts, idx = world
+    junk = np.random.default_rng(9).integers(0, 4, 1000).astype(np.uint8)
+    states, lines = align_reads([("junk", junk)], g, idx, opts,
+                                use_device=False)
+    r = parse_sam(lines[0])
+    assert r["flag"] & 4
+
+
+def test_reverse_read_seq_is_rc(world):
+    """SAM SEQ for reverse alignments is the reverse complement."""
+    rng, g, opts, idx = world
+    r = sample_read(rng, g.codes, 3000, rev_prob=1.0)
+    states, lines = align_reads([("rev1", r.codes)], g, idx, opts,
+                                use_device=False)
+    rec = parse_sam(lines[0])
+    assert rec["flag"] & 0x10
+    assert rec["seq"] == sequtils.decode(sequtils.revcomp(r.codes))
