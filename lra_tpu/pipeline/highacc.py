@@ -13,12 +13,13 @@ cores run as batched device kernels:
   device: banded gap alignment, batched across all gaps
   host:   block assembly, CIGAR/stats, MAPQ, SAM records
 
-Round-1 scope notes (vs the full reference flow): local-index cluster
-refinement (REFINEclusters) and gap reseeding with the forward-only 3rd
-SDP (RefineSpace/RefineBtwnSpace) are not yet wired — large gaps go
-straight to the one-gap aligner; the HighlyAccurate fast path (which
-skips refinement, Map_highacc.h:429-461) is the one implemented, which is
-the production path for CCS/CONTIG on non-sparse reads.
+Refinement tier: when a genome local index is supplied and the read is
+sparse (or the preset is not HighlyAccurate), clusters are reseeded from
+the two-tier local index (pipeline/refine.py); gaps between chain
+clusters and the read ends are reseeded via RefineBtwnSpace semantics.
+Remaining round-1 gaps: the forward-only 3rd SDP inside huge inter-anchor
+gaps and inversion-cluster insertion from RevBtwnCluster are not yet
+wired — those gaps go straight to the one-gap aligner.
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ from ..io.genome import Genome
 from ..ops.gapcost import from_options
 from ..options import Options
 from .gap_align import GapJob, solve_gap_jobs
+from .refine import refine_btwn_clusters_chain, refine_clusters
 
 
 @dataclass
@@ -136,7 +138,7 @@ def _expand_chain(chain_frag_ids, backref, ext_clusters):
 
 
 def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
-              use_device: bool = True) -> list:
+              use_device: bool = True, genome_li=None) -> list:
     """reads: list of (name, codes, qual|None).  Returns list of ReadState
     with .groups filled (SAM emission is io/sam.py's job)."""
     gp = from_options(opts)
@@ -190,36 +192,68 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
             continue
         st.chains = chains
         st.rc = sequtils.revcomp(st.codes)
+        # chrom-local copies of the chain clusters (reference rebases t
+        # before refinement/extension, Map_highacc.h:448-460)
+        local_clusters: dict = {}
         for ch in chains:
+            for ci in ch.ch:
+                if ci in local_clusters:
+                    continue
+                c = st.clusters[ci]
+                off = int(starts[c.chrom])
+                lc = Cluster(c.qpos.copy(), c.tpos - off, c.strand, c.k,
+                             c.anchorfreq, c.chrom)
+                lc.set_boundaries()
+                local_clusters[ci] = lc
+
+        # sparse check (reference: Map_highacc.h:415-418)
+        sparse = any(
+            len(c) / max(1, c.qEnd - c.qStart) <= 0.01
+            for c in local_clusters.values()
+        ) and len(st.codes) <= 50000
+        K, W = index.k, opts.global_w
+        if genome_li is not None and (not opts.highly_accurate or sparse):
+            keys = list(local_clusters)
+            refined = refine_clusters([local_clusters[k] for k in keys],
+                                      genome, genome_li, st.codes, st.rc,
+                                      opts)
+            for k_, rc_ in zip(keys, refined):
+                rc_.anchorfreq = local_clusters[k_].anchorfreq
+                local_clusters[k_] = rc_
+            K, W = genome_li.k, genome_li.w
+            for ch in chains:
+                ch.ch = [ci for ci in ch.ch if len(local_clusters[ci])]
+
+        for ch in chains:
+            chain_cls = [local_clusters[ci] for ci in ch.ch]
+            if chain_cls:
+                refine_btwn_clusters_chain(chain_cls, genome, st.codes,
+                                           st.rc, opts, K, W)
             exts = []
             for pos, ci in enumerate(ch.ch):
-                c = st.clusters[ci]
-                chrom = c.chrom
-                off = int(starts[chrom])
-                # rebase t to chrom-local for extension
-                local = Cluster(c.qpos, c.tpos - off, c.strand, c.k,
-                                c.anchorfreq, chrom)
+                local = local_clusters[ci]
+                chrom = local.chrom
                 chrom_codes = genome.codes[starts[chrom]:genome.ends[chrom]]
                 # overlap points from neighbor clusters (q/t boundaries)
                 pts = []
-                if c.anchorfreq <= 1.1:
+                if local.anchorfreq <= 1.1:
                     for nb in (pos - 1, pos + 1):
                         if 0 <= nb < len(ch.ch):
-                            nc = st.clusters[ch.ch[nb]]
+                            nc = local_clusters[ch.ch[nb]]
                             for qb in (nc.qStart, nc.qEnd):
-                                if c.qStart < qb < c.qEnd:
+                                if local.qStart < qb < local.qEnd:
                                     pts.append((qb, False))
-                            for tb in (nc.tStart - off, nc.tEnd - off):
-                                if c.tStart - off < tb < c.tEnd - off:
+                            for tb in (nc.tStart, nc.tEnd):
+                                if local.tStart < tb < local.tEnd:
                                     pts.append((tb, True))
                 q, t, ln, ovp = linear_extend_cluster(
                     local, st.codes, chrom_codes, K, pts)
-                trim_overlapped_anchors(q, t, ln, c.strand)
+                trim_overlapped_anchors(q, t, ln, local.strand)
                 keep = ln > 0
                 q, t, ln, ovp = q[keep], t[keep], ln[keep], ovp[keep]
-                gs, ge = merge_same_diag(q, t, ln, ovp, c.strand,
+                gs, ge = merge_same_diag(q, t, ln, ovp, local.strand,
                                          opts.merge_dist)
-                exts.append(ExtCluster(q, t, ln, ovp, c.strand, chrom,
+                exts.append(ExtCluster(q, t, ln, ovp, local.strand, chrom,
                                        gs, ge))
             p, backref = _make_sdp2_problem(exts, opts.second_anchorbonus)
             st.ext.append((exts, backref))

@@ -1,0 +1,312 @@
+"""Cluster refinement: local-index reseeding, gap/end space reseeding.
+
+Ports of reference: ClusterRefine.h:51-240 (``REFINEclusters``),
+ClusterRefine.h:242-325 (``RefineSpace``), ClusterRefine.h:332-433
+(``RefineBtwnSpace`` incl. reverse-strand inversion capture), and
+ClusterRefine.h:434-615 (``RefineBtwnClusters_chain`` + end refinement).
+
+Coordinate contract: clusters arrive with chrom-local t (the caller
+rebases); reverse clusters are flipped to forward-read coordinates for
+reseeding and flipped back (reference: SwapStrand, ClusterRefine.h:24-44).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..align.affine import affine_one_gap_align
+from ..anchors import match_minimizer_lists
+from ..cluster.types import Cluster
+from ..index.local_index import LocalIndex, build_local_index
+from ..index.minimizers import minimizers
+from ..options import Options, ReadType
+
+
+def _swap_strand(qpos: np.ndarray, read_len: int, K: int) -> np.ndarray:
+    return read_len - (qpos + K)
+
+
+def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
+                    read_codes: np.ndarray, read_rc: np.ndarray,
+                    opts: Options, window: int = 100) -> list:
+    """Reseed each cluster with local-index matches inside its diagonal
+    band.  Returns new clusters (k = genome_li.k anchors, chrom-local t).
+    Input clusters must already be chrom-local."""
+    read_len = len(read_codes)
+    k = genome_li.k
+    read_li = [build_local_index(read_codes, k, genome_li.w,
+                                 genome_li.window, opts.local_max_freq),
+               build_local_index(read_rc, k, genome_li.w,
+                                 genome_li.window, opts.local_max_freq)]
+    starts = genome.starts()
+    refined = []
+    for c in clusters:
+        out = Cluster(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                      c.strand, k, c.anchorfreq, c.chrom)
+        if len(c) == 0:
+            refined.append(out)
+            continue
+        chrom_off = int(starts[c.chrom])
+        chrom_end = int(genome.ends[c.chrom])
+        q = c.qpos.copy()
+        t = c.tpos.copy()          # chrom-local
+        if c.strand == 1:
+            q = _swap_strand(q, read_len, c.k)
+        # diagonal band (reference: ClusterRefine.h:89-97)
+        d = t - q
+        max_dn = int(d.max()) + 100
+        min_dn = int(d.min()) - 100
+        qlo = int(q.min())
+        qhi = int(q.max()) + c.k
+        tlo = int(t.min())
+        thi = int(t.max()) + c.k
+
+        # genome windows overlapping [tlo - window, thi + window]
+        wts = max(chrom_off, chrom_off + tlo - window)
+        wte = min(chrom_end - 1, chrom_off + thi + window)
+        ls = genome_li.lookup_window(wts)
+        le = genome_li.lookup_window(wte)
+
+        rli = read_li[c.strand]
+        # per genome window: intersect its minimizers with the read windows
+        # overlapping the band-projected read range
+        order_t = np.argsort(t, kind="stable")
+        t_sorted = t[order_t]
+        q_by_t = q[order_t]
+        got_q, got_t = [], []
+        for lsi in range(ls, le + 1):
+            g_lo = int(genome_li.seq_offsets[lsi]) - chrom_off
+            g_hi = int(genome_li.seq_offsets[lsi + 1]) - 1 - chrom_off
+            if g_lo >= g_hi or g_lo < 0:
+                continue
+            m_s = int(np.searchsorted(t_sorted, g_lo, side="left"))
+            m_e = int(np.searchsorted(t_sorted, g_hi, side="right"))
+            if m_s >= len(t_sorted):
+                continue
+            m_e = min(m_e, len(t_sorted) - 1)
+            r_lo = int(q_by_t[m_s])
+            r_hi = int(q_by_t[m_e])
+            r_lo, r_hi = min(r_lo, r_hi), max(r_lo, r_hi)
+            if lsi == ls:
+                r_lo = max(0, r_lo - window)
+            if lsi == le:
+                r_hi = min(read_len, r_hi + window)
+            if r_lo > r_hi:
+                continue
+            qi_s = rli.lookup_window(r_lo)
+            qi_e = rli.lookup_window(min(r_hi, read_len - 1))
+            rb_lo, _ = rli.window_rows(qi_s)
+            _, rb_hi = rli.window_rows(qi_e)
+            gb_lo, gb_hi = genome_li.window_rows(lsi)
+            if rb_hi <= rb_lo or gb_hi <= gb_lo:
+                continue
+            gt = genome_li.tuples[gb_lo:gb_hi]
+            gp = genome_li.pos[gb_lo:gb_hi].astype(np.int64)
+            # read rows span multiple windows; tuples sorted per window only
+            for qi in range(qi_s, qi_e + 1):
+                a, b = rli.window_rows(qi)
+                if b <= a:
+                    continue
+                roff = int(rli.seq_offsets[qi])
+                qp, tp, _, _ = match_minimizer_lists(
+                    rli.tuples[a:b], rli.pos[a:b].astype(np.int64) + roff,
+                    gt, gp + g_lo, opts.local_max_freq)
+                if len(qp) == 0:
+                    continue
+                diag = tp - qp
+                keep = ((diag >= min_dn) & (diag <= max_dn)
+                        & (qp >= qlo) & (qp < qhi)
+                        & (tp >= tlo) & (tp < thi))
+                got_q.append(qp[keep])
+                got_t.append(tp[keep])
+        if got_q:
+            qq = np.concatenate(got_q)
+            tt = np.concatenate(got_t)
+            if len(qq):
+                if c.strand == 1:
+                    qq = _swap_strand(qq, read_len, k)
+                out.qpos = qq
+                out.tpos = tt
+                out.set_boundaries()
+        refined.append(out)
+    return refined
+
+
+def refine_space(K: int, W: int, diag_band: int, genome, chrom_codes,
+                 read_strand_codes: np.ndarray, opts: Options,
+                 qs: int, qe: int, ts: int, te: int):
+    """Find anchors in a q x t box (reference: RefineSpace,
+    ClusterRefine.h:242-325).  Coordinates: q in strand frame, t
+    chrom-local.  Returns (qpos, tpos, identity)."""
+    qseq = read_strand_codes[qs:qe]
+    tseq = chrom_codes[ts:te]
+    identity = -1.0
+    if len(qseq) < 1000 and len(tseq) < 1000:
+        res = affine_one_gap_align(qseq, tseq, opts.local_match,
+                                   opts.local_mismatch, opts.local_indel, 30)
+        got_q, got_t = [], []
+        nmatch = 0
+        for (bq, bt, ln) in res.blocks:
+            nmatch += int((qseq[bq:bq + ln] == tseq[bt:bt + ln]).sum())
+            if ln > K:
+                bp = 0
+                while bp + K < ln:
+                    if (qseq[bq + bp:bq + bp + K]
+                            == tseq[bt + bp:bt + bp + K]).all():
+                        got_q.append(bq + bp)
+                        got_t.append(bt + bp)
+                    bp += K
+        denom = min(len(qseq), len(tseq))
+        identity = nmatch / denom if denom else 0.0
+        qpos = np.asarray(got_q, np.int64) + qs
+        tpos = np.asarray(got_t, np.int64) + ts
+        return qpos, tpos, identity
+    # large box: non-canonical minimizer reseed with diagonal band
+    diag2 = (te - ts) - (qe - qs)
+    min_dn = min(0, diag2) - diag_band
+    max_dn = max(0, diag2) + diag_band
+    gt, gpp, _ = minimizers(tseq, K, W, canonical=False)
+    rt, rp, _ = minimizers(qseq, K, W, canonical=False)
+    order = np.argsort(gt, kind="stable")
+    gt, gpp = gt[order], gpp[order]
+    qp, tp, _, _ = match_minimizer_lists(rt, rp.astype(np.int64), gt,
+                                         gpp.astype(np.int64),
+                                         opts.local_max_freq)
+    if len(qp):
+        diag = tp - qp
+        keep = (diag >= min_dn) & (diag <= max_dn)
+        qp, tp = qp[keep], tp[keep]
+    return qp + qs, tp + ts, identity
+
+
+def _space_diag(opts: Options, span: int) -> int:
+    """reference: RefineBtwnSpace diagonal band (ClusterRefine.h:344-352)."""
+    if opts.read_type in (ReadType.CONTIG, ReadType.CCS):
+        return min(int(max(100.0, 0.01 * span)), 100)
+    return min(int(max(100.0, 0.15 * span)), 1000)
+
+
+def refine_btwn_space(cluster: Cluster, genome, chrom_codes, read_codes,
+                      read_rc, opts: Options, K: int, W: int,
+                      qs: int, qe: int, ts: int, te: int,
+                      two_blocks: bool, rev_clusters: list) -> bool:
+    """Reseed the space between two clusters, trying the reverse strand
+    when forward is too sparse (reference: RefineBtwnSpace,
+    ClusterRefine.h:332-433).  q coords in forward-read frame.  Returns
+    True when a reverse (inversion) cluster was emitted."""
+    read_len = len(read_codes)
+    st = cluster.strand
+    if st == 1:
+        qs, qe = read_len - qe, read_len - qs
+    strands = [read_codes, read_rc]
+    band = _space_diag(opts, qe - qs)
+    qp, tp, _ = refine_space(K, W, band, genome, chrom_codes, strands[st],
+                             opts, qs, qe, ts, te)
+    eff = len(qp) / max(1, min(qe - qs, te - ts))
+    if len(qp) and (two_blocks or eff >= opts.anchors_too_sparse * 2):
+        _append_matches(cluster, qp, tp, st, read_len, K)
+        return False
+    if two_blocks:
+        return False
+    # try the reverse strand
+    rst = 1 - st
+    qs2, qe2 = read_len - qe, read_len - qs
+    qp2, tp2, _ = refine_space(K, W, band, genome, chrom_codes,
+                               strands[rst], opts, qs2, qe2, ts, te)
+    reff = len(qp2) / max(1, min(qe2 - qs2, te - ts))
+    if eff >= reff:
+        if len(qp):
+            _append_matches(cluster, qp, tp, st, read_len, K)
+        return False
+    rc = Cluster(np.zeros(0, np.int64), np.zeros(0, np.int64), rst, K,
+                 1.0, cluster.chrom)
+    _append_matches(rc, qp2, tp2, rst, read_len, K)
+    rev_clusters.append(rc)
+    return True
+
+
+def _append_matches(cluster: Cluster, qp, tp, st, read_len, K):
+    """Append reseeded anchors; flip q back to fwd-read frame for rev
+    clusters (reference: RefineSpace consider_str, ClusterRefine.h:322).
+    The pipeline uses one anchor length K per path (reference:
+    Map_highacc.h:468-470), so lengths stay uniform."""
+    assert cluster.k == K or len(cluster.qpos) == 0, (cluster.k, K)
+    if st == 1:
+        qp = read_len - qp - K
+    if len(cluster.qpos):
+        cluster.qpos = np.concatenate([cluster.qpos, qp])
+        cluster.tpos = np.concatenate([cluster.tpos, tp])
+    else:
+        cluster.qpos = qp
+        cluster.tpos = tp
+        cluster.k = K
+    if len(cluster.qpos):
+        cluster.set_boundaries()
+
+
+def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
+                               read_rc, opts: Options, K: int, W: int
+                               ) -> None:
+    """Reseed gaps between adjacent chain clusters and the two read ends
+    (reference: RefineBtwnClusters_chain, ClusterRefine.h:434-615).
+    chain_clusters: clusters in chain order (end-first: descending q),
+    chrom-local t."""
+    read_len = len(read_codes)
+    low_b = 1000 if opts.read_type == ReadType.CONTIG else 20
+    upper = 100000 if opts.read_type == ReadType.CONTIG else 50000
+    starts = genome.starts()
+    rev_clusters: list = []   # captured inversions (wired in later round)
+    for c in range(1, len(chain_clusters)):
+        cur = chain_clusters[c]
+        prev = chain_clusters[c - 1]
+        if len(cur) == 0 or len(prev) == 0:
+            continue
+        qs, qe = cur.qEnd, prev.qStart
+        if qe <= qs or cur.chrom != prev.chrom:
+            continue
+        chrom_codes = genome.codes[starts[cur.chrom]:genome.ends[cur.chrom]]
+        if cur.strand == prev.strand:
+            if cur.tEnd <= prev.tStart:
+                ts1, te1 = cur.tEnd, prev.tStart
+            elif cur.tStart > prev.tEnd:
+                ts1, te1 = prev.tEnd, cur.tStart
+            else:
+                continue
+            if te1 <= ts1:
+                continue
+            span = max(qe - qs, te1 - ts1)
+            if low_b <= span <= upper:
+                refine_btwn_space(cur, genome, chrom_codes, read_codes,
+                                  read_rc, opts, K, W, qs, qe, ts1, te1,
+                                  False, rev_clusters)
+        # strand-discordant neighbor spaces (two_blocks) deferred with
+        # inversion insertion machinery
+    # read-end spaces (reference: ClusterRefine.h:560-615)
+    for end_right in (True, False):
+        cc = chain_clusters[0] if end_right else chain_clusters[-1]
+        if len(cc) == 0:
+            continue
+        chrom_codes = genome.codes[starts[cc.chrom]:genome.ends[cc.chrom]]
+        chrom_len = len(chrom_codes)
+        if end_right:
+            qs, qe = cc.qEnd, read_len
+            if cc.strand == 0:
+                ts = cc.tEnd
+                te = min(chrom_len, ts + (qe - qs))
+            else:
+                te = cc.tStart
+                ts = max(0, te - (qe - qs))
+        else:
+            qs, qe = 0, cc.qStart
+            if cc.strand == 0:
+                te = cc.tStart
+                ts = max(0, te - (qe - qs))
+            else:
+                ts = cc.tEnd
+                te = min(chrom_len, ts + (qe - qs))
+        if qe <= qs or te <= ts:
+            continue
+        span = max(qe - qs, te - ts)
+        if 20 <= span <= upper:
+            refine_btwn_space(cc, genome, chrom_codes, read_codes, read_rc,
+                              opts, K, W, qs, qe, ts, te, True, rev_clusters)
