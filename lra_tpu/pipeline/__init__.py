@@ -24,7 +24,13 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
         qual = item[2] if len(item) > 2 else None
         codes = s if isinstance(s, np.ndarray) else sequtils.encode(s)
         prepared.append((name, codes, qual))
-    states = map_batch(prepared, genome, index, opts, use_device, genome_li)
+    if opts.bypass_clustering:
+        from .lowacc import map_batch_lowacc
+        states = map_batch_lowacc(prepared, genome, index, opts, use_device,
+                                  genome_li)
+    else:
+        states = map_batch(prepared, genome, index, opts, use_device,
+                           genome_li)
     lines = []
     for st in states:
         if st.unaligned or not st.groups:

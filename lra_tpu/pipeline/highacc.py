@@ -292,10 +292,15 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
             if group.segments:
                 st.groups.append(group)
 
-    # ---- device: gap alignment ----
-    solve_gap_jobs(gap_jobs, opts, use_device)
+    # ---- device: gap alignment + host finalize ----
+    finalize_batch(states, gap_jobs, genome, opts, use_device)
+    return states
 
-    # ---- host: insert gap blocks, stats, mapq ----
+
+def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
+    """Shared final phase: solve gap jobs on device, splice blocks, compute
+    CIGAR/stats, rank groups, assign MAPQ."""
+    solve_gap_jobs(gap_jobs, opts, use_device)
     by_key: dict = {}
     for job in gap_jobs:
         by_key.setdefault(job.key[:3], []).append(job)
@@ -324,7 +329,6 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
             nseg = len(group.segments)
             for s_i, seg in enumerate(group.segments):
                 seg.order = nseg - 1 - s_i
-    return states
 
 
 def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,

@@ -1,0 +1,416 @@
+"""Low-accuracy (CLR/ONT) batch alignment pipeline.
+
+Stages of the reference's ``MapRead_lowacc`` (reference: Map_lowacc.h:69-632)
+batched over reads:
+
+  host:   clean matches -> clusters (with matches) -> raw linear extension
+  device: SDP-1b over all extended anchors (4-point insertion only at
+          cluster-boundary anchors, SparseDP.h:2157-2166), batched
+  host:   <=NumAln UltimateChains (DecidePrimaryChains variant 2,
+          SparseDP.h:1658-1760), typed SPLITChain (N/I/T) with
+          MergeSplitchainINS + RemoveSpuriousSplitChain, local-index
+          reseeding per segment, re-extension
+  device: SDP-2' per segment, batched
+  host:   cleaners, assembly (shared with the high-accuracy path)
+  device: gap alignment (shared)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import seq as sequtils
+from ..align.extend import (linear_extend_cluster, merge_same_diag,
+                            trim_overlapped_anchors)
+from ..align.segment import SegGroup
+from ..chain.cleaners import (AnchorChain, remove_paired_indels,
+                              remove_spurious_anchors)
+from ..chain.driver import ChainProblem, best_chain, solve_problems
+from ..cluster.fine import clean_matches_to_clusters
+from ..cluster.types import Cluster
+from ..anchors import find_matches
+from ..index.global_index import GlobalIndex
+from ..io.genome import Genome
+from ..ops.gapcost import from_options
+from ..options import Options
+from .highacc import (ReadState, _assemble_segments, _expand_chain,
+                      finalize_batch)
+from .refine import refine_btwn_clusters_chain, refine_clusters
+
+
+@dataclass
+class UChain:
+    """SDP-1b result chain: anchors end-first, with typed split segments."""
+    qpos: np.ndarray
+    tpos: np.ndarray          # global t
+    length: np.ndarray
+    strand: np.ndarray
+    cluster: np.ndarray       # ext-cluster index
+    value: float = 0.0
+    num_anchors: int = 0
+    # used by DecidePrimaryChains overlap rule
+    TStart: int = 0
+    TEnd: int = 0
+
+
+def _make_sdp1b_problem(ext_clusters: list, rate: float):
+    """All extended anchors, strand lane + both lanes at cluster-boundary
+    anchors (reference: SparseDP.h:2157-2166)."""
+    qS, qE, tS, tE, sc, l1, l2, cl = [], [], [], [], [], [], [], []
+    for ci, ec in enumerate(ext_clusters):
+        n = len(ec.qpos)
+        if n == 0:
+            continue
+        ln = ec.lengths
+        boundary = np.zeros(n, bool)
+        boundary[0] = boundary[-1] = True
+        fwd = ec.strand == 0
+        qS.append(ec.qpos)
+        qE.append(ec.qpos + ln)
+        if fwd:
+            tS.append(ec.tpos)
+            tE.append(ec.tpos + ln)
+            l1.append(np.ones(n, bool))
+            l2.append(boundary)
+        else:
+            # rev anchor (q, t, len): lane-2 events s2=(q, t+len), e2=(q+len, t)
+            tS.append(ec.tpos)
+            tE.append(ec.tpos + ln)
+            l1.append(boundary)
+            l2.append(np.ones(n, bool))
+        sc.append(ln.astype(np.float32) * rate)
+        cl.append(np.full(n, ci, np.int64))
+    if not qS:
+        return None, None
+    qS = np.concatenate(qS).astype(np.int64)
+    qE = np.concatenate(qE).astype(np.int64)
+    tS = np.concatenate(tS).astype(np.int64)
+    tE = np.concatenate(tE).astype(np.int64)
+    sc = np.concatenate(sc)
+    l1 = np.concatenate(l1)
+    l2 = np.concatenate(l2)
+    cl = np.concatenate(cl)
+    order = np.argsort(qS, kind="stable")
+    tbase = int(tS.min())
+    p = ChainProblem(qS[order], qE[order], tS[order] - tbase,
+                     tE[order] - tbase, sc[order], l1[order], l2[order],
+                     order, tbase)
+    return p, cl
+
+
+def _decide_chains_1b(p: ChainProblem, ext_clusters, anchor_cluster,
+                      opts: Options, read_len: int) -> list:
+    """reference: DecidePrimaryChains for pure matches
+    (SparseDP.h:1658-1760)."""
+    n = len(p.qS)
+    if n == 0 or p.V is None:
+        return []
+    used = np.zeros(n, bool)
+    by_val = np.argsort(-p.V, kind="stable")
+    best_v = float(p.V[by_val[0]])
+    thres = opts.aln_thres * best_v
+    chains: list[UChain] = []
+    fv = 0
+    while (len(chains) < opts.num_aln and fv < n
+           and p.V[by_val[fv]] >= thres):
+        d = int(by_val[fv])
+        rows = []
+        i = d
+        aborted = used[i]
+        while not aborted and i >= 0:
+            rows.append(i)
+            used[i] = True
+            j = int(p.bp[i])
+            if j >= 0 and used[j]:
+                aborted = True
+                break
+            i = j
+        if aborted:
+            for x in rows:
+                used[x] = False
+            fv += 1
+            continue
+        if rows:
+            orig = [int(p.order[r]) for r in rows]
+            q_lo = min(int(p.qS[r]) for r in rows)
+            q_hi = max(int(p.qE[r]) for r in rows)
+            t_lo = min(int(p.tS[r]) for r in rows) + p.tbase
+            t_hi = max(int(p.tE[r]) for r in rows) + p.tbase
+            qspan = q_hi - q_lo
+            if (len(rows) >= 3 and qspan > 0
+                    and qspan / read_len > 0.005 and qspan >= 200):
+                overlaps = True
+                if chains:
+                    a = chains[0]
+                    ov = min(a.TEnd, t_hi) - max(a.TStart, t_lo)
+                    overlaps = ov > 0.05 * max(1, a.TEnd - a.TStart)
+                if not chains or overlaps:
+                    # reconstruct anchor arrays via sorted-row -> anchor map
+                    ids = np.array(orig, np.int64)
+                    uc = UChain(
+                        _gather(ext_clusters, anchor_cluster, ids, "q"),
+                        _gather(ext_clusters, anchor_cluster, ids, "t"),
+                        _gather(ext_clusters, anchor_cluster, ids, "l"),
+                        _gather(ext_clusters, anchor_cluster, ids, "s"),
+                        anchor_cluster[ids],
+                        float(p.V[d]), len(rows), t_lo, t_hi)
+                    chains.append(uc)
+            else:
+                break
+        fv += 1
+    return chains
+
+
+def _gather(ext_clusters, anchor_cluster, ids, what):
+    out = np.zeros(len(ids), np.int64)
+    # anchors were concatenated in cluster order; recover per-cluster offset
+    offsets = np.cumsum([0] + [len(ec.qpos) for ec in ext_clusters])
+    for i, gid in enumerate(ids):
+        ci = int(anchor_cluster[gid])
+        j = int(gid - offsets[ci])
+        ec = ext_clusters[ci]
+        if what == "q":
+            out[i] = ec.qpos[j]
+        elif what == "t":
+            out[i] = ec.tpos[j]
+        elif what == "l":
+            out[i] = ec.lengths[j]
+        else:
+            out[i] = ec.strand
+    return out
+
+
+@dataclass
+class ExtRaw:
+    qpos: np.ndarray
+    tpos: np.ndarray       # global t
+    lengths: np.ndarray
+    strand: int
+    chrom: int
+    anchorfreq: float
+
+
+def split_chain_typed(uc: UChain, ext_clusters, genome, opts: Options):
+    """Typed segment split (reference: SPLITChain, Mapping_ultility.h:385-455
+    + MergeSplitchainINS + RemoveSpuriousSplitChain, Map_lowacc.h:38-67).
+    Anchors are end-first.  Returns list of (rows, type_char)."""
+    n = len(uc.qpos)
+    q, t, ln, s = uc.qpos, uc.tpos, uc.length, uc.strand
+    segs = []
+    cur_rows = [0]
+    types = []
+
+    def diag(i):
+        return (t[i] - q[i]) if s[i] == 0 else (q[i] + t[i] + ln[i])
+
+    for im in range(n - 1):
+        prev, cur = im, im + 1
+        qdist = int(q[prev] - (q[cur] + ln[cur]))
+        tdist = int(abs(t[prev] - (t[cur] + ln[cur])))
+        dist = min(max(qdist, 0), tdist)
+        new_type = None
+        if (s[cur] == s[prev] and dist >= 1000
+                and abs(int(diag(cur)) - int(diag(prev)))
+                <= math.ceil(0.15 * dist)):
+            new_type = "N"     # missing TRA/INV
+        elif (t[cur] > t[prev] + ln[prev] + opts.split_dist
+              or t[cur] + ln[cur] + opts.split_dist < t[prev]):
+            new_type = "T"
+        elif s[cur] != s[prev]:
+            new_type = "I"
+        if new_type is not None:
+            segs.append(cur_rows)
+            types.append(new_type)
+            cur_rows = [cur]
+        else:
+            cur_rows.append(cur)
+    segs.append(cur_rows)
+    types.append("N")
+
+    # chrom check per segment
+    out = []
+    for rows, ty in zip(segs, types):
+        tlo = min(int(t[r]) for r in rows)
+        thi = max(int(t[r] + ln[r]) for r in rows)
+        if int(genome.chrom_of(tlo + 1)) == int(genome.chrom_of(thi)):
+            out.append((rows, ty))
+    # RemoveSpuriousSplitChain
+    total = sum(len(r) for r, _ in out)
+    filt = max(int(0.02 * total), 2)
+    filt_susp = max(int(0.03 * total), 2)
+    kept = []
+    for i, (rows, ty) in enumerate(out):
+        if len(rows) < min(filt, 2):
+            continue
+        if i > 0 and out[i - 1][1] == "I" and len(rows) < min(filt_susp, 4):
+            continue
+        kept.append((rows, ty))
+    return kept
+
+
+def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
+                     opts: Options, use_device: bool = True,
+                     genome_li=None) -> list:
+    gp = from_options(opts)
+    states = [ReadState(n, c, q) for (n, c, q) in reads]
+    starts = genome.starts()
+
+    # ---- host: clean matches -> clusters -> raw extension ----
+    sdp1_problems = []
+    per_state = []
+    for st in states:
+        fwd, rev = find_matches(st.codes, index, opts)
+        if len(fwd) == 0 and len(rev) == 0:
+            st.unaligned = True
+            per_state.append(None)
+            continue
+        clusters = (clean_matches_to_clusters(fwd.qpos, fwd.tpos, opts,
+                                              genome, index.k, 0)
+                    + clean_matches_to_clusters(rev.qpos, rev.tpos, opts,
+                                                genome, index.k, 1))
+        if not clusters:
+            st.unaligned = True
+            per_state.append(None)
+            continue
+        st.rc = sequtils.revcomp(st.codes)
+        repetitive = any(1.0 < c.anchorfreq <= 2.0 and len(c) >= 500
+                         for c in clusters)
+        exts = []
+        for c in clusters:
+            off = int(starts[c.chrom])
+            local = Cluster(c.qpos, c.tpos - off, c.strand, c.k,
+                            c.anchorfreq, c.chrom)
+            chrom_codes = genome.codes[starts[c.chrom]:genome.ends[c.chrom]]
+            q, t, ln, ovp = linear_extend_cluster(local, st.codes,
+                                                  chrom_codes, index.k)
+            keep = ln > 0
+            exts.append(ExtRaw(q[keep], t[keep] + off, ln[keep],
+                               c.strand, c.chrom, c.anchorfreq))
+        rate = 3.0 if repetitive else opts.initial_anchorbonus
+        p, anchor_cluster = _make_sdp1b_problem(exts, rate)
+        if p is None:
+            st.unaligned = True
+            per_state.append(None)
+            continue
+        per_state.append((p, exts, anchor_cluster))
+        sdp1_problems.append(p)
+
+    # ---- device: SDP-1b ----
+    solve_problems(sdp1_problems, gp, use_device)
+
+    # ---- host: chains -> typed split -> refine -> SDP-2' problems ----
+    sdp2_problems = []
+    work = []   # (si, chain_idx, seg_clusters list)
+    for si, st in enumerate(states):
+        if st.unaligned or per_state[si] is None:
+            continue
+        p, exts, anchor_cluster = per_state[si]
+        chains = _decide_chains_1b(p, exts, anchor_cluster, opts,
+                                   len(st.codes))
+        if not chains:
+            st.unaligned = True
+            continue
+        for pi, uc in enumerate(chains):
+            segs = split_chain_typed(uc, exts, genome, opts)
+            if not segs:
+                continue
+            # build a cluster per typed segment (chrom-local t)
+            seg_clusters = []
+            for rows, ty in segs:
+                rows = np.array(rows, np.int64)
+                chrom = int(genome.chrom_of(int(uc.tpos[rows[0]]) + 1))
+                off = int(starts[chrom])
+                c = Cluster(uc.qpos[rows].copy(),
+                            uc.tpos[rows] - off,
+                            int(uc.strand[rows[0]]), index.k, 1.0, chrom)
+                c.lengths = uc.length[rows].copy()
+                c.set_boundaries()
+                seg_clusters.append((c, ty))
+            # local-index reseeding per segment (Refine_splitchain)
+            if genome_li is not None:
+                cls = [c for c, _ in seg_clusters]
+                refined = refine_clusters(cls, genome, genome_li,
+                                          st.codes, st.rc, opts)
+                seg_clusters = [
+                    (r if len(r) else c, ty)
+                    for r, (c, ty) in zip(refined, seg_clusters)]
+                refine_btwn_clusters_chain([c for c, _ in seg_clusters],
+                                           genome, st.codes, st.rc, opts,
+                                           genome_li.k, genome_li.w)
+            work.append((si, uc, seg_clusters))
+
+    # extension + SDP-2' per segment
+    from .highacc import ExtCluster, _make_sdp2_problem
+    jobs2 = []
+    for (si, uc, seg_clusters) in work:
+        st = states[si]
+        seg_exts = []
+        for (c, ty) in seg_clusters:
+            if c.lengths is not None:
+                # already-extended variable-length anchors (no local-index
+                # refinement ran): use directly
+                q, t, ln = c.qpos.copy(), c.tpos.copy(), c.lengths.copy()
+                order = (np.lexsort((q, q - t)) if c.strand == 0
+                         else np.lexsort((q, q + t)))
+                q, t, ln = q[order], t[order], ln[order]
+                ovp = np.zeros(len(q), bool)
+            else:
+                chrom_codes = genome.codes[
+                    starts[c.chrom]:genome.ends[c.chrom]]
+                q, t, ln, ovp = linear_extend_cluster(c, st.codes,
+                                                      chrom_codes, c.k)
+            trim_overlapped_anchors(q, t, ln, c.strand)
+            keep = ln > 0
+            q, t, ln, ovp = q[keep], t[keep], ln[keep], ovp[keep]
+            gs, ge = merge_same_diag(q, t, ln, ovp, c.strand,
+                                     opts.merge_dist)
+            seg_exts.append((ExtCluster(q, t, ln, ovp, c.strand, c.chrom,
+                                        gs, ge), ty))
+        # one SDP-2 problem per segment (reference runs per merged cluster)
+        probs = []
+        for (ec, ty) in seg_exts:
+            p2, backref = _make_sdp2_problem([ec], opts.second_anchorbonus)
+            probs.append((p2, backref, ec, ty))
+            if p2 is not None:
+                sdp2_problems.append(p2)
+        jobs2.append((si, uc, probs))
+
+    solve_problems(sdp2_problems, gp, use_device)
+
+    # ---- host: assemble ----
+    gap_jobs = []
+    for (si, uc, probs) in jobs2:
+        st = states[si]
+        group = SegGroup()
+        for (p2, backref, ec, ty) in probs:
+            if p2 is None:
+                continue
+            frag_chain = best_chain(p2)
+            if not frag_chain:
+                continue
+            ac = _expand_chain(frag_chain, backref, [ec])
+            remove_paired_indels(ac, opts.refine_end)
+            remove_spurious_anchors(ac)
+            if len(ac) == 0:
+                continue
+            ac.second_sdp_value = float(np.max(p2.V))
+
+            class _Ch:   # minimal chain info for _assemble_segments
+                num_anchors = uc.num_anchors
+                value = uc.value
+            _assemble_segments(st, _Ch, ac, [ec], genome, opts, group,
+                               gap_jobs, si, len(st.groups))
+            for seg in group.segments:
+                if ty == "I":
+                    seg.typeofaln = 3
+        if group.segments:
+            # first segment of the group is the representative
+            for k_, seg in enumerate(group.segments):
+                seg.is_supplementary = k_ > 0
+            st.groups.append(group)
+
+    finalize_batch(states, gap_jobs, genome, opts, use_device)
+    return states
