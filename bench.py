@@ -33,8 +33,8 @@ def run(n_reads=64, read_len=8000, genome_len=2_000_000, device=True):
                         dele=0.001)
         reads.append((f"r{i}", r.codes))
 
-    # warm-up (compile)
-    align_reads(reads[:8], genome, idx, opts, use_device=device)
+    # warm-up with identical shapes (compiles cache persistently)
+    align_reads(reads, genome, idx, opts, use_device=device)
     t0 = time.time()
     states, lines = align_reads(reads, genome, idx, opts, use_device=device)
     dt = time.time() - t0
@@ -43,8 +43,10 @@ def run(n_reads=64, read_len=8000, genome_len=2_000_000, device=True):
 
 
 def main():
+    from lra_tpu import enable_compile_cache
+    enable_compile_cache()
     reads_per_s, mapped, dt = run(device=True)
-    host_rps, _, _ = run(n_reads=16, device=False)
+    host_rps, _, _ = run(n_reads=64, device=False)
     print(json.dumps({
         "metric": "ccs_reads_per_s_e2e",
         "value": round(reads_per_s, 3),

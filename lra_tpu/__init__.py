@@ -18,3 +18,12 @@ Layering:
 from .options import Options, ReadType, preset
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str = "/root/.cache/jax_compilation") -> None:
+    """Persist XLA compilations across processes (tunneled-TPU compiles are
+    expensive: ~10s per kernel shape)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

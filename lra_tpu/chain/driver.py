@@ -26,7 +26,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ops.gapcost import GapParams
-from ..ops.sdp import chain_scores, chain_scores_np
+from ..ops.sdp import chain_scores_np
+from ..ops.sdp_blocked import chain_scores_blocked
 from ..options import Options
 
 _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
@@ -57,8 +58,19 @@ class ChainProblem:
     lane: np.ndarray | None = None
 
 
+def _pow2(n: int, lo: int = 1) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
-    """Run chain DP for many problems, bucketed+batched on device."""
+    """Run chain DP for many problems, bucketed+batched on device.
+
+    Both N (fragments) and B (problems per bucket) are padded to fixed
+    sizes so the compiled kernels are reused across batches — remote
+    compiles cost ~10s on the tunneled TPU, cached dispatches ~50ms."""
     import jax.numpy as jnp
 
     small = [p for p in problems if len(p.qS) < 64 or not use_device]
@@ -71,8 +83,9 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
     by_bucket: dict = {}
     for p in large:
         by_bucket.setdefault(_bucket(len(p.qS)), []).append(p)
+    key = gp.static_key()
     for N, plist in by_bucket.items():
-        B = len(plist)
+        B = _pow2(len(plist), 8)
         def pad(attr, dtype, fill=0):
             out = np.full((B, N), fill, dtype)
             for b, p in enumerate(plist):
@@ -89,12 +102,10 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
         valid = np.zeros((B, N), bool)
         for b, p in enumerate(plist):
             valid[b, :len(p.qS)] = True
-        V, bp, lane = chain_scores(
+        V, bp, lane = chain_scores_blocked(
             jnp.asarray(qS), jnp.asarray(qE), jnp.asarray(tS),
             jnp.asarray(tE), jnp.asarray(sc), jnp.asarray(l1),
-            jnp.asarray(l2), jnp.asarray(valid),
-            jnp.asarray(gp.slope), jnp.asarray(gp.inter),
-            gp.ceiling1, gp.ceiling2)
+            jnp.asarray(l2), jnp.asarray(valid), key)
         V, bp, lane = np.asarray(V), np.asarray(bp), np.asarray(lane)
         for b, p in enumerate(plist):
             n = len(p.qS)

@@ -1,0 +1,157 @@
+"""Command-line interface.
+
+Mirrors the reference binary's subcommands (reference: lra.cpp:1029-1068):
+
+  lra_tpu index ref.fa [-CCS|-CLR|-ONT|-CONTIG]   build global+local indexes
+  lra_tpu align ref.fa reads.fa -CCS ...          align reads -> SAM/PAF
+
+(`global` and `local` build each index separately, as in the reference.)
+
+Run as `python -m lra_tpu.cli ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import enable_compile_cache, preset
+from .index.global_index import GlobalIndex, build_global_index
+from .index.local_index import LocalIndex, build_genome_local_index
+from .io.fasta import read_seqs
+from .io.genome import Genome
+from .io.sam import sam_header, sam_record, unmapped_record
+from .options import Options, ReadType
+
+
+def _preset_from_args(argv):
+    rt = "ccs"
+    rest = []
+    for a in argv:
+        if a in ("-CCS", "-CLR", "-ONT", "-CONTIG"):
+            rt = a[1:].lower()
+        else:
+            rest.append(a)
+    return preset(rt), rest
+
+
+def _parser(align: bool) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lra_tpu")
+    p.add_argument("ref")
+    if align:
+        p.add_argument("reads")
+        p.add_argument("-o", "--out", default="-")
+        p.add_argument("-p", "--printformat", default="s",
+                       help="s=SAM p=PAF (reference -p flag)")
+        p.add_argument("--batch", type=int, default=64)
+        p.add_argument("--cpu", action="store_true",
+                       help="host-only kernels (no device)")
+        p.add_argument("--start", type=int, default=0,
+                       help="read index to start at (multi-job sharding, "
+                            "reference lra.cpp:227-234)")
+        p.add_argument("--stride", type=int, default=1,
+                       help="read index stride (multi-job sharding)")
+    return p
+
+
+def cmd_index(argv) -> int:
+    opts, rest = _preset_from_args(argv)
+    args = _parser(False).parse_args(rest)
+    genome = Genome.from_fasta(args.ref)
+    t0 = time.time()
+    gi = build_global_index(genome, opts)
+    gi.save(args.ref + ".gdx")
+    print(f"global index: {len(gi)} minimizers (k={gi.k}) "
+          f"in {time.time()-t0:.1f}s -> {args.ref}.gdx", file=sys.stderr)
+    t0 = time.time()
+    li = build_genome_local_index(genome, k=min(opts.local_k, 10),
+                                  w=opts.local_w,
+                                  window=opts.local_index_window,
+                                  max_freq=opts.local_max_freq)
+    li.save(args.ref + ".ldx")
+    print(f"local index: {len(li.tuples)} minimizers in {time.time()-t0:.1f}s "
+          f"-> {args.ref}.ldx", file=sys.stderr)
+    return 0
+
+
+def cmd_align(argv) -> int:
+    opts, rest = _preset_from_args(argv)
+    args = _parser(True).parse_args(rest)
+    opts.print_format = args.printformat
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    genome = Genome.from_fasta(args.ref)
+    gdx, ldx = args.ref + ".gdx.npz", args.ref + ".ldx.npz"
+    if os.path.exists(gdx):
+        gi = GlobalIndex.load(gdx)
+        if gi.k != opts.global_k:
+            print(f"index k={gi.k} != preset k={opts.global_k}; rebuilding",
+                  file=sys.stderr)
+            gi = build_global_index(genome, opts)
+    else:
+        gi = build_global_index(genome, opts)
+    li = LocalIndex.load(ldx) if os.path.exists(ldx) else \
+        build_genome_local_index(genome, k=min(opts.local_k, 10),
+                                 w=opts.local_w,
+                                 window=opts.local_index_window,
+                                 max_freq=opts.local_max_freq)
+    if not args.cpu:
+        enable_compile_cache()
+
+    from .pipeline import align_reads
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    if opts.print_format == "s":
+        out.write(sam_header(genome, " ".join(sys.argv)))
+    n = 0
+    t0 = time.time()
+    batch = []
+
+    def flush():
+        nonlocal n
+        if not batch:
+            return
+        states, lines = align_reads(batch, genome, gi, opts,
+                                    use_device=not args.cpu, genome_li=li)
+        for line in lines:
+            out.write(line + "\n")
+        n += len(batch)
+        batch.clear()
+
+    for i, rec in enumerate(read_seqs(args.reads)):
+        if i < args.start or (i - args.start) % args.stride != 0:
+            continue
+        batch.append((rec.name, rec.seq, rec.qual))
+        if len(batch) >= args.batch:
+            flush()
+            print(f"aligned {n} reads ({n/(time.time()-t0):.1f} reads/s)",
+                  file=sys.stderr)
+    flush()
+    print(f"done: {n} reads in {time.time()-t0:.1f}s", file=sys.stderr)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "index" or cmd == "global" or cmd == "local":
+        return cmd_index(rest)
+    if cmd == "align":
+        return cmd_align(rest)
+    print(f"unknown subcommand {cmd!r}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

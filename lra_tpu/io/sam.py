@@ -89,3 +89,47 @@ def sam_record(seg: Segment, name: str, read_fwd: np.ndarray,
                 f"{_cigar_with_clips(o, False)},{o.mapq},{o.stats.nm};")
         fields.append("SA:Z:" + "".join(sa_parts))
     return "\t".join(fields)
+
+
+def paf_record(seg: Segment, name: str, genome, chrom_len: int,
+               print_cigar: bool = False) -> str:
+    """PAF line (reference: Alignment.h:600-656 PrintPAF)."""
+    st = seg.stats
+    if seg.strand == 0:
+        q0, q1 = seg.qStart, seg.qEnd
+    else:
+        q0, q1 = seg.read_len - seg.qEnd, seg.read_len - seg.qStart
+    fields = [
+        name, str(seg.read_len), str(q0), str(q1),
+        "+" if seg.strand == 0 else "-",
+        genome.names[seg.chrom], str(chrom_len),
+        str(seg.tStart), str(seg.tEnd),
+        str(st.nm), str(st.nm + st.nmm + st.ndel + st.nins),
+        str(seg.mapq),
+        f"OR:i:{seg.order}",
+        f"NM:i:{st.nmm + st.ndel + st.nins}",
+        f"NX:i:{st.nmm}", f"ND:i:{st.ndel}", f"TD:i:{st.tdel}",
+        f"NI:i:{st.nins}", f"TI:i:{st.tins}",
+        f"SD:i:{st.n_small_del}", f"ME:i:{st.n_med_del}",
+        f"LD:i:{st.n_large_del}", f"SI:i:{st.n_small_ins}",
+        f"MI:i:{st.n_med_ins}", f"LI:i:{st.n_large_ins}",
+        f"N0:i:{seg.num_anchors0}",
+        f"NV:f:{seg.value:g}", f"AS:i:{int(seg.value)}",
+        "TP:A:" + ("P" if seg.typeofaln == 0 else
+                   "S" if seg.typeofaln in (1, 2) else "I"),
+    ]
+    if seg.num_anchors1 > 0:
+        fields.append(f"NA:i:{seg.num_anchors1}")
+    if print_cigar:
+        fields.append("CG:z:" + _cigar_with_clips(seg, False))
+    return "\t".join(fields)
+
+
+def bed_record(seg: Segment, name: str, genome) -> str:
+    """BED line (reference: Alignment.h:591-598 PrintBed)."""
+    st = seg.stats
+    return "\t".join(str(x) for x in (
+        genome.names[seg.chrom], seg.tStart, seg.tEnd, seg.mapq, name,
+        seg.read_len, seg.qStart, seg.qEnd, st.nm, st.nmm, st.nins,
+        st.ndel, seg.value, seg.flag(), seg.num_anchors1,
+        seg.num_anchors1 / max(1.0, float(seg.read_len))))

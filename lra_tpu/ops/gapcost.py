@@ -41,6 +41,16 @@ class GapParams:
     inter: np.ndarray      # f32[24] per-piece intercept
     ceiling1: float
     ceiling2: float
+    # exact dense penalty table: table[x] = PWL_w(x) for x < len(table);
+    # the penalty is monotone past the free region and clamps to ceiling2,
+    # so min(x, len-1) indexing is exact once table[-1] == ceiling2.
+    table: np.ndarray = None
+
+    def static_key(self):
+        """Hashable constants for jit-static PWL evaluation."""
+        return (tuple(float(s) for s in self.slope),
+                tuple(float(i) for i in self.inter),
+                float(self.ceiling1), float(self.ceiling2))
 
 
 def make_gap_params(gap_open: float, gap_extend: float, gap_root: float,
@@ -56,7 +66,14 @@ def make_gap_params(gap_open: float, gap_extend: float, gap_root: float,
         s = (vals[i + 1] - vals[i]) / (STOPS[i + 1] - STOPS[i])
         slope[i] = s
         inter[i] = vals[i] - STOPS[i] * s
-    return GapParams(slope, inter, float(gap_ceiling1), float(gap_ceiling2))
+    gp = GapParams(slope, inter, float(gap_ceiling1), float(gap_ceiling2))
+    size = 4096
+    while True:
+        tab = pwl_np(np.arange(size, dtype=np.int64), gp)
+        if tab[-1] == gp.ceiling2:
+            break
+        size *= 2
+    return GapParams(slope, inter, gp.ceiling1, gp.ceiling2, tab)
 
 
 def from_options(opts) -> GapParams:
@@ -87,6 +104,8 @@ def pwl_jnp(x, slope, inter, ceiling1, ceiling2):
     """Branch-free PWL penalty for int32 x (device).
 
     piece = (# breakpoints <= x) - 1; STOPS[0]=0 is always <= x for x >= 1.
+    NOTE: materializes an [..., 23] comparison tensor — use pwl_table_jnp
+    (one gather) in anything hot.
     """
     xf = x.astype(jnp.float32)
     stops = jnp.asarray(STOPS[1:-1], dtype=jnp.int32)  # 23 inner breakpoints
@@ -94,6 +113,35 @@ def pwl_jnp(x, slope, inter, ceiling1, ceiling2):
         (x[..., None] >= stops).astype(jnp.int32), axis=-1
     )
     pen = slope[piece] * xf + inter[piece]
+    pen = jnp.floor(pen)
+    pen = jnp.where((pen >= ceiling1) & (pen < ceiling2), ceiling1, pen)
+    pen = jnp.where(pen > ceiling2, ceiling2, pen)
+    return jnp.where(x <= 2, 0.0, pen)
+
+
+def pwl_table_jnp(x, table):
+    """Exact PWL penalty via the dense table (one clamp + one gather);
+    table[-1] == ceiling2 covers all larger x.  NOTE: gathers are slow on
+    TPU for large index tensors — kernels use pwl_select_jnp."""
+    idx = jnp.minimum(x, table.shape[0] - 1)
+    return table[idx]
+
+
+def pwl_select_jnp(x, pwl_key):
+    """Exact PWL penalty as a chain of elementwise selects (VPU-only, no
+    gather).  Pieces are overwritten ascending: the last piece with
+    STOPS[i] < x wins, matching upper_bound semantics (piece covers
+    (STOPS[i], STOPS[i+1]]).  pwl_key: the STATIC tuple from
+    GapParams.static_key() so piece constants fold into the program."""
+    slope, inter, ceiling1, ceiling2 = pwl_key
+    xf = x.astype(jnp.float32)
+    pen = jnp.zeros_like(xf)
+    for i in range(NUMPWL - 1):
+        s = float(slope[i])
+        if s == 0.0:
+            continue  # free pieces contribute 0
+        b = float(inter[i])
+        pen = jnp.where(x > int(STOPS[i]), s * xf + b, pen)
     pen = jnp.floor(pen)
     pen = jnp.where((pen >= ceiling1) & (pen < ceiling2), ceiling1, pen)
     pen = jnp.where(pen > ceiling2, ceiling2, pen)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.gapcost import GapParams
-from ..ops.sdp import chain_scores
+from ..ops.sdp_blocked import chain_scores_blocked
 from ..ops.affine_kernel import banded_global_kernel
 
 
@@ -45,10 +45,9 @@ def shard_batch(mesh: Mesh, *arrays):
 
 def sharded_chain_scores(mesh: Mesh, qS, qE, tS, tE, score, lane1, lane2,
                          valid, gp: GapParams):
-    """chain_scores with the problem batch sharded data-parallel."""
+    """Blocked chain DP with the problem batch sharded data-parallel."""
     args = shard_batch(mesh, qS, qE, tS, tE, score, lane1, lane2, valid)
-    return chain_scores(*args, jnp.asarray(gp.slope), jnp.asarray(gp.inter),
-                        gp.ceiling1, gp.ceiling2)
+    return chain_scores_blocked(*args, gp.static_key())
 
 
 def sharded_banded_align(mesh: Mesh, q, t, qlen, tlen, K, m, mm, indel,
@@ -64,12 +63,12 @@ def combined_device_step(mesh: Mesh, gp: GapParams, m: int, mm: int,
     """One jitted function running SDP chaining + banded alignment with
     dp-sharded inputs — the full device side of an alignment step."""
 
+    key = gp.static_key()
+
     def step(qS, qE, tS, tE, score, lane1, lane2, valid,
              gq, gt, gql, gtl, gkb):
-        V, bp, lane = chain_scores(
-            qS, qE, tS, tE, score, lane1, lane2, valid,
-            jnp.asarray(gp.slope), jnp.asarray(gp.inter),
-            gp.ceiling1, gp.ceiling2)
+        V, bp, lane = chain_scores_blocked(
+            qS, qE, tS, tE, score, lane1, lane2, valid, key)
         sc, arrows = banded_global_kernel(gq, gt, gql, gtl, K, m, mm,
                                           indel, kband=gkb)
         return V, bp, lane, sc, arrows

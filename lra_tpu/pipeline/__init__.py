@@ -7,7 +7,8 @@ import numpy as np
 from .. import seq as sequtils
 from ..index.global_index import GlobalIndex, build_global_index
 from ..io.genome import Genome
-from ..io.sam import sam_header, sam_record, unmapped_record
+from ..io.sam import (bed_record, paf_record, sam_header, sam_record,
+                      unmapped_record)
 from ..options import Options
 from .highacc import map_batch
 
@@ -41,6 +42,15 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
                 break
             for s_i in range(len(group.segments) - 1, -1, -1):
                 seg = group.segments[s_i]
-                lines.append(sam_record(seg, st.name, st.codes, st.rc,
-                                        genome, opts, group, s_i, st.qual))
+                if opts.print_format in ("p", "pc"):
+                    chrom_len = int(genome.ends[seg.chrom]
+                                    - genome.starts()[seg.chrom])
+                    lines.append(paf_record(seg, st.name, genome, chrom_len,
+                                            opts.print_format == "pc"))
+                elif opts.print_format == "b":
+                    lines.append(bed_record(seg, st.name, genome))
+                else:
+                    lines.append(sam_record(seg, st.name, st.codes, st.rc,
+                                            genome, opts, group, s_i,
+                                            st.qual))
     return states, lines

@@ -62,7 +62,9 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
 
     K = 2 * opts.local_band
     for (Qb, Tb), items in device_jobs.items():
-        B = len(items)
+        B = 8
+        while B < len(items):
+            B *= 2
         q = np.full((B, Qb), 4, np.int8)
         t = np.full((B, Tb), 4, np.int8)
         qlen = np.zeros(B, np.int32)
