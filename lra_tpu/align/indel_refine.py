@@ -1,0 +1,136 @@
+"""Indel consolidation + end extension over assembled block lists.
+
+Behavioral port of the reference's ``IndelRefineAlignment``
+(reference: IndelRefine.h:53-787): runs of blocks separated by
+< refine_band-1 gaps (interior blocks < 100bp) are re-aligned with a
+banded DP so nearby small indels consolidate; with ``end_align`` the
+alignment is first extended by up to 40bp of assumed match at each read
+end (IndelRefine.h:89-127).
+
+Mechanism difference (documented): the reference carves a shaped band
+that follows the existing path through the region; we re-align the whole
+region with the banded-global kernel (band = refine_band + drift), which
+explores a superset of that band — same or better optimum, same scoring.
+Regions are solved as batched device jobs alongside the gap-closing ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..options import Options
+from ..pipeline.gap_align import GapJob
+
+
+def plan_end_extension(seg, read_len: int, chrom_len: int) -> None:
+    """end_align: prepend/append <=40bp assumed-match blocks
+    (reference: IndelRefine.h:89-127)."""
+    if not seg.blocks:
+        return
+    q0, t0, _ = seg.blocks[0]
+    m = min(q0, t0)
+    if 0 < m < 40:
+        seg.blocks.insert(0, (q0 - m, t0 - m, m))
+    qe = seg.qEnd
+    te = seg.tEnd
+    m = min(read_len - qe, chrom_len - te)
+    if 0 < m < 40:
+        seg.blocks.append((qe, te, m))
+
+
+def plan_refine_regions(seg, opts: Options):
+    """Group block runs to re-align (reference: IndelRefine.h:133-165).
+    Returns list of (start_block, end_block_inclusive)."""
+    blocks = seg.blocks
+    max_gap = opts.refine_band - 1
+    regions = []
+    i = 0
+    n = len(blocks)
+    while i < n:
+        j = i
+        while j < n - 1:
+            q, t, ln = blocks[j]
+            qn, tn, _ = blocks[j + 1]
+            qgap = qn - (q + ln)
+            tgap = tn - (t + ln)
+            if qgap < max_gap and tgap < max_gap and \
+               (j == i or blocks[j][2] < 100):
+                j += 1
+            else:
+                break
+        if j > i:
+            regions.append((i, j))
+        i = max(j, i + 1)
+    return regions
+
+
+def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
+                            opts: Options, key_prefix: tuple) -> list:
+    """Create banded re-alignment jobs for each fragmented region.
+    Returns jobs whose key carries (block_lo, block_hi) for splicing."""
+    jobs = []
+    max_gap = opts.refine_band - 1
+    for (lo, hi) in plan_refine_regions(seg, opts):
+        # long flanking blocks stay fixed; only their trailing/leading
+        # max_gap bases enter the window (reference: IndelRefine.h:175-205)
+        q0, t0, ln0 = seg.blocks[lo]
+        trim0 = max(0, ln0 - max_gap)
+        q0 += trim0
+        t0 += trim0
+        qe_b, te_b, ln_b = seg.blocks[hi]
+        keep1 = min(ln_b, max_gap)
+        q1, t1 = qe_b + keep1, te_b + keep1
+        if q1 <= q0 or t1 <= t0:
+            continue
+        drift = abs((q1 - q0) - (t1 - t0))
+        band = opts.refine_band + drift
+        job = GapJob(read[q0:q1].copy(), chrom[t0:t1].copy(),
+                     key_prefix + (lo, hi, q0, t0, trim0, keep1))
+        job.band = band
+        jobs.append(job)
+    return jobs
+
+
+def splice_refined_blocks(seg, jobs: list) -> None:
+    """Replace each region's blocks with its re-aligned blocks."""
+    if not jobs:
+        return
+    repl = {}
+    for job in jobs:
+        lo, hi, q0, t0, trim0, keep1 = job.key[3:9]
+        if job.blocks:
+            nb = [(q0 + bq, t0 + bt, bl) for (bq, bt, bl) in job.blocks]
+            # retained flank pieces of the trimmed boundary blocks
+            pre = []
+            if trim0 > 0:
+                bq, bt, _ = seg.blocks[lo]
+                pre = [(bq, bt, trim0)]
+            post = []
+            bq, bt, bl = seg.blocks[hi]
+            if bl > keep1:
+                post = [(bq + keep1, bt + keep1, bl - keep1)]
+            repl[(lo, hi)] = pre + nb + post
+    if not repl:
+        return
+    out = []
+    i = 0
+    n = len(seg.blocks)
+    spans = sorted(repl.items())
+    si = 0
+    while i < n:
+        if si < len(spans) and spans[si][0][0] == i:
+            (lo, hi), nb = spans[si]
+            out.extend(nb)
+            i = hi + 1
+            si += 1
+        else:
+            out.append(seg.blocks[i])
+            i += 1
+    # monotonic safety
+    clean = []
+    pq = pt = -1
+    for (bq, bt, bl) in out:
+        if bq >= pq and bt >= pt and bl > 0:
+            clean.append((bq, bt, bl))
+            pq, pt = bq + bl, bt + bl
+    seg.blocks = clean

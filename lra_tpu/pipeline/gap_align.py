@@ -20,6 +20,13 @@ from ..options import Options
 _SIZE_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
 
+def _pow2_at_least(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def _size_bucket(n: int) -> int:
     for b in _SIZE_BUCKETS:
         if n <= b:
@@ -33,6 +40,7 @@ class GapJob:
     t: np.ndarray          # chrom codes of the gap
     key: tuple             # caller routing key
     blocks: list | None = None
+    band: int | None = None    # override band halfwidth (indel refine)
 
 
 def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
@@ -46,22 +54,25 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             job.blocks = []
             continue
         drift = abs(ql - tl)
-        k = min(2 * drift + 1, opts.local_band)
+        band_in = job.band if job.band is not None else \
+            min(2 * drift + 1, opts.local_band)
+        k = min(max(1, min(ql, tl)), band_in)
         diag = max(1, min(ql, tl))
-        k = min(diag, k)
         if diag + 2 * k >= max(ql, tl):
             kb = 2 * k   # banded-global regime (device)
-            if use_device:
-                bucket = (_size_bucket(ql), _size_bucket(tl))
+            # K class: narrow (gap closing) vs wide (indel refine)
+            Kc = 2 * opts.local_band if kb <= 2 * opts.local_band else \
+                2 * _pow2_at_least(kb // 2)
+            if use_device and Kc <= 512:
+                bucket = (Kc, _size_bucket(ql), _size_bucket(tl))
                 device_jobs.setdefault(bucket, []).append((job, kb))
                 continue
         res = affine_one_gap_align(job.q, job.t, opts.local_match,
                                    opts.local_mismatch, opts.local_indel,
-                                   min(2 * drift + 1, opts.local_band))
+                                   band_in)
         job.blocks = res.blocks
 
-    K = 2 * opts.local_band
-    for (Qb, Tb), items in device_jobs.items():
+    for (K, Qb, Tb), items in device_jobs.items():
         B = 8
         while B < len(items):
             B *= 2

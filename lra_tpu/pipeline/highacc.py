@@ -298,13 +298,21 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
 
 
 def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
-    """Shared final phase: solve gap jobs on device, splice blocks, compute
+    """Shared final phase: solve gap jobs on device, splice blocks, run
+    the indel-refine pass (second batched device round), compute
     CIGAR/stats, rank groups, assign MAPQ."""
+    from ..align.indel_refine import (plan_end_extension,
+                                      queue_indel_refine_jobs,
+                                      splice_refined_blocks)
+
     solve_gap_jobs(gap_jobs, opts, use_device)
     by_key: dict = {}
     for job in gap_jobs:
         by_key.setdefault(job.key[:3], []).append(job)
     starts_g = genome.starts()
+
+    # first pass: splice gap blocks, queue indel-refine regions
+    ir_jobs = []
     for si, st in enumerate(states):
         if st.unaligned or not st.groups:
             st.unaligned = True
@@ -314,6 +322,28 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
             for zi, seg in enumerate(group.segments):
                 jobs = by_key.get((si, gi, zi), [])
                 _insert_gap_blocks(seg, jobs)
+                if opts.skip_banded_refine or not seg.blocks:
+                    continue
+                chrom_codes = genome.codes[
+                    starts_g[seg.chrom]:genome.ends[seg.chrom]]
+                read = st.rc if seg.strand == 1 else st.codes
+                if opts.highly_accurate:
+                    plan_end_extension(seg, len(read), len(chrom_codes))
+                ir_jobs.extend(queue_indel_refine_jobs(
+                    seg, read, chrom_codes, opts, (si, gi, zi)))
+
+    # second device round: banded re-alignment of fragmented regions
+    solve_gap_jobs(ir_jobs, opts, use_device)
+    ir_by_key: dict = {}
+    for job in ir_jobs:
+        ir_by_key.setdefault(job.key[:3], []).append(job)
+
+    for si, st in enumerate(states):
+        if st.unaligned or not st.groups:
+            continue
+        for gi, group in enumerate(st.groups):
+            for zi, seg in enumerate(group.segments):
+                splice_refined_blocks(seg, ir_by_key.get((si, gi, zi), []))
                 chrom_codes = genome.codes[
                     starts_g[seg.chrom]:genome.ends[seg.chrom]]
                 read = st.rc if seg.strand == 1 else st.codes
