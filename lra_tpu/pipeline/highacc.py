@@ -338,12 +338,31 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
     for job in ir_jobs:
         ir_by_key.setdefault(job.key[:3], []).append(job)
 
+    # breakpoint refinement between adjacent segments (note the
+    # reference's inverted flag: high-acc runs it when --refineBreakpoints
+    # is NOT set, low-acc when it IS; Map_highacc.h:723 vs Map_lowacc.h:585)
+    run_bp = opts.refine_breakpoint == opts.bypass_clustering
+    from ..align.breakpoint import refine_breakpoint
+
     for si, st in enumerate(states):
         if st.unaligned or not st.groups:
             continue
         for gi, group in enumerate(st.groups):
             for zi, seg in enumerate(group.segments):
                 splice_refined_blocks(seg, ir_by_key.get((si, gi, zi), []))
+            if run_bp and len(group.segments) > 1:
+                for s_i in range(1, len(group.segments)):
+                    left = group.segments[s_i]
+                    right = group.segments[s_i - 1]
+                    lc = genome.codes[starts_g[left.chrom]:
+                                      genome.ends[left.chrom]]
+                    rc_ = genome.codes[starts_g[right.chrom]:
+                                       genome.ends[right.chrom]]
+                    lread = st.rc if left.strand == 1 else st.codes
+                    rread = st.rc if right.strand == 1 else st.codes
+                    refine_breakpoint(left, right, len(st.codes),
+                                      lread, rread, lc, rc_)
+            for seg in group.segments:
                 chrom_codes = genome.codes[
                     starts_g[seg.chrom]:genome.ends[seg.chrom]]
                 read = st.rc if seg.strand == 1 else st.codes
