@@ -17,9 +17,10 @@ Refinement tier: when a genome local index is supplied and the read is
 sparse (or the preset is not HighlyAccurate), clusters are reseeded from
 the two-tier local index (pipeline/refine.py); gaps between chain
 clusters and the read ends are reseeded via RefineBtwnSpace semantics.
-Remaining round-1 gaps: the forward-only 3rd SDP inside huge inter-anchor
-gaps and inversion-cluster insertion from RevBtwnCluster are not yet
-wired — those gaps go straight to the one-gap aligner.
+Big inter-anchor gaps (>=300bp both sides) are reseeded and chained with
+the forward-only 3rd SDP (pipeline/big_gap.py); remaining round-1 gap:
+inversion-cluster insertion from RevBtwnCluster/in-gap inversions opens
+no supplementary segment yet (detection is wired, splitting is not).
 """
 
 from __future__ import annotations
@@ -288,7 +289,7 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
             ac.second_sdp_value = float(np.max(p.V))
             group = SegGroup()
             _assemble_segments(st, ch, ac, exts, genome, opts, group,
-                               gap_jobs, si, len(st.groups))
+                               gap_jobs, si, len(st.groups), gp)
             if group.segments:
                 st.groups.append(group)
 
@@ -381,7 +382,8 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
 
 
 def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
-                       group: SegGroup, gap_jobs: list, si: int, gi: int):
+                       group: SegGroup, gap_jobs: list, si: int, gi: int,
+                       gp=None):
     """Walk the cleaned anchor chain, split by strand, emit anchor blocks,
     and queue gap jobs.  Anchors arrive end-first (descending q)."""
     n = len(ac)
@@ -434,6 +436,29 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                         continue
                 rgap = bq - prev_q_end
                 tgap = bt - prev_t_end
+                if (opts.refine_by_sdp and min(rgap, tgap) >= 300
+                        and gp is not None):
+                    # big gap: reseed + forward-only 3rd SDP
+                    # (reference: LocalRefineAlignment.h:236-390)
+                    from .big_gap import close_big_gap
+                    mids, _inv = close_big_gap(
+                        read, chrom_codes, opts, gp,
+                        prev_q_end, bq, prev_t_end, bt,
+                        seg.blocks[-1][2], bl,
+                        rc_strand=(st.codes if strand == 1 else st.rc))
+                    for (mq, mt, ml) in mids:
+                        if mq < prev_q_end or mt < prev_t_end:
+                            continue
+                        if prev_q_end < mq and prev_t_end < mt:
+                            gap_jobs.append(GapJob(
+                                read[prev_q_end:mq].copy(),
+                                chrom_codes[prev_t_end:mt].copy(),
+                                (si, gi, zi, prev_q_end, prev_t_end)))
+                        seg.blocks.append((mq, mt, ml))
+                        prev_q_end = mq + ml
+                        prev_t_end = mt + ml
+                    rgap = bq - prev_q_end
+                    tgap = bt - prev_t_end
                 if rgap > 0 and tgap > 0:
                     gap_jobs.append(GapJob(
                         read[prev_q_end:bq].copy(),

@@ -402,7 +402,7 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                 num_anchors = uc.num_anchors
                 value = uc.value
             _assemble_segments(st, _Ch, ac, [ec], genome, opts, group,
-                               gap_jobs, si, len(st.groups))
+                               gap_jobs, si, len(st.groups), gp)
             for seg in group.segments:
                 if ty == "I":
                     seg.typeofaln = 3
