@@ -50,6 +50,11 @@ def _parser(align: bool) -> argparse.ArgumentParser:
         p.add_argument("--batch", type=int, default=64)
         p.add_argument("--cpu", action="store_true",
                        help="host-only kernels (no device)")
+        p.add_argument("--timing", default="",
+                       help="write per-stage timing report to this file")
+        p.add_argument("-d", "--dotplot", default="",
+                       help="dump per-stage dots for --readname into this dir")
+        p.add_argument("--readname", default="")
         p.add_argument("--start", type=int, default=0,
                        help="read index to start at (multi-job sharding, "
                             "reference lra.cpp:227-234)")
@@ -105,6 +110,13 @@ def cmd_align(argv) -> int:
         enable_compile_cache()
 
     from .pipeline import align_reads
+    from .utils.dots import DotDumper
+    from .utils.timing import Timing
+
+    timing = Timing() if args.timing else None
+    dots = None
+    if args.dotplot and args.readname:
+        dots = {args.readname: DotDumper(args.dotplot, args.readname)}
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     if opts.print_format == "s":
@@ -118,7 +130,8 @@ def cmd_align(argv) -> int:
         if not batch:
             return
         states, lines = align_reads(batch, genome, gi, opts,
-                                    use_device=not args.cpu, genome_li=li)
+                                    use_device=not args.cpu, genome_li=li,
+                                    timing=timing, dots=dots)
         for line in lines:
             out.write(line + "\n")
         n += len(batch)
@@ -134,6 +147,8 @@ def cmd_align(argv) -> int:
                   file=sys.stderr)
     flush()
     print(f"done: {n} reads in {time.time()-t0:.1f}s", file=sys.stderr)
+    if timing:
+        timing.write(args.timing)
     if out is not sys.stdout:
         out.close()
     return 0

@@ -159,3 +159,66 @@ def traceback_banded(arrows: np.ndarray, qlen: int, tlen: int, K: int):
             tPos += ln
         out_ops.append((op, ln))
     return blocks, out_ops
+
+
+def banded_global_np(q, t, qlen, tlen, K, m, mm, indel, kband):
+    """Batched numpy mirror of banded_global_kernel (identical recurrence,
+    used as the host fallback so CPU-only runs get the same batching).
+
+    q: int8[B,Q], t: int8[B,T], qlen/tlen/kband: int[B].
+    Returns (score f32[B], arrows int8[B, T+1, 2K+1]).
+    """
+    B, Q = q.shape
+    T = t.shape[1]
+    band = 2 * K + 1
+    offs = np.arange(-K, K + 1, dtype=np.int64)
+    in_band = (offs[None, :] >= -kband[:, None]) & \
+              (offs[None, :] <= kband[:, None])
+    NEGF = np.float32(-1.0e30)
+
+    qpad = np.full((B, Q + 2 * K + T + 2), 5, np.int32)
+    qpad[:, K + 1:K + 1 + Q] = q
+
+    row = np.where((offs[None, :] >= 0) & in_band,
+                   indel * offs[None, :].astype(np.float32), NEGF)
+    arrows = np.full((B, T + 1, band), -1, np.int8)
+    arrows[:, 0] = np.where(offs[None, :] > 0, LEFT,
+                            np.where(offs[None, :] == 0, DONE, -1))
+    arrows[:, 0][~in_band] = -1
+
+    log_steps = int(np.ceil(np.log2(band)))
+    rows_all = np.full((B, T + 1, band), NEGF, np.float32)
+    rows_all[:, 0] = row
+    for j in range(1, T + 1):
+        prev = row
+        qrow = qpad[:, j:j + band]
+        sub = np.where(qrow == t[:, j - 1][:, None], float(m), float(mm))
+        sMat = prev + sub
+        prev_shift = np.concatenate(
+            [prev[:, 1:], np.full((B, 1), NEGF)], axis=1)
+        sDel = prev_shift + float(indel)
+        base = np.maximum(sMat, sDel)
+        i_vals = j + offs[None, :]
+        is_i0 = i_vals == 0
+        base = np.where(is_i0, float(indel) * j, base)
+        valid = (i_vals >= 0) & (i_vals <= qlen[:, None]) & \
+                (j <= tlen[:, None]) & in_band
+        base = np.where(valid, base, NEGF)
+        row = base
+        for s in range(log_steps):
+            sh = 1 << s
+            shifted = np.concatenate(
+                [np.full((B, sh), NEGF), row[:, :-sh]], axis=1)
+            row = np.maximum(row, shifted + float(indel) * sh)
+        row = np.where(valid, row, NEGF)
+        row_left = np.concatenate([np.full((B, 1), NEGF), row[:, :-1]],
+                                  axis=1)
+        arr = np.where(row == row_left + float(indel), LEFT,
+                       np.where(row == sDel, DOWN, DIAG)).astype(np.int8)
+        arr = np.where(is_i0, np.int8(DOWN), arr)
+        arr = np.where(valid, arr, np.int8(-1))
+        arrows[:, j] = arr
+        rows_all[:, j] = row
+    d_final = (qlen - tlen + K).astype(np.int64)
+    score = rows_all[np.arange(B), tlen, d_final]
+    return score, arrows

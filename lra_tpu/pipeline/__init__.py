@@ -14,7 +14,8 @@ from .highacc import map_batch
 
 
 def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
-                use_device: bool = True, genome_li=None):
+                use_device: bool = True, genome_li=None, timing=None,
+                dots=None):
     """Align a batch of reads; returns (states, sam_lines).
 
     reads: iterable of (name, seq) where seq is str/bytes/uint8-codes.
@@ -31,7 +32,7 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
                                   genome_li)
     else:
         states = map_batch(prepared, genome, index, opts, use_device,
-                           genome_li)
+                           genome_li, timing, dots)
     lines = []
     for st in states:
         if st.unaligned or not st.groups:

@@ -14,7 +14,9 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..align.affine import affine_one_gap_align
-from ..ops.affine_kernel import banded_global_kernel, traceback_banded
+from ..ops.affine_kernel import (banded_global_kernel,
+                                 banded_global_np,
+                                 traceback_banded)
 from ..options import Options
 
 _SIZE_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
@@ -59,11 +61,11 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
         k = min(max(1, min(ql, tl)), band_in)
         diag = max(1, min(ql, tl))
         if diag + 2 * k >= max(ql, tl):
-            kb = 2 * k   # banded-global regime (device)
+            kb = 2 * k   # banded-global regime (device or batched numpy)
             # K class: narrow (gap closing) vs wide (indel refine)
             Kc = 2 * opts.local_band if kb <= 2 * opts.local_band else \
                 2 * _pow2_at_least(kb // 2)
-            if use_device and Kc <= 512:
+            if Kc <= 512:
                 bucket = (Kc, _size_bucket(ql), _size_bucket(tl))
                 device_jobs.setdefault(bucket, []).append((job, kb))
                 continue
@@ -73,9 +75,12 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
         job.blocks = res.blocks
 
     for (K, Qb, Tb), items in device_jobs.items():
-        B = 8
-        while B < len(items):
-            B *= 2
+        if use_device:
+            B = 8
+            while B < len(items):
+                B *= 2
+        else:
+            B = len(items)
         q = np.full((B, Qb), 4, np.int8)
         t = np.full((B, Tb), 4, np.int8)
         qlen = np.zeros(B, np.int32)
@@ -87,11 +92,16 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             qlen[b] = len(job.q)
             tlen[b] = len(job.t)
             kband[b] = kb
-        score, arrows = banded_global_kernel(
-            jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
-            jnp.asarray(tlen), K, opts.local_match, opts.local_mismatch,
-            opts.local_indel, kband=jnp.asarray(kband))
-        arrows = np.asarray(arrows)
+        if use_device:
+            score, arrows = banded_global_kernel(
+                jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+                jnp.asarray(tlen), K, opts.local_match, opts.local_mismatch,
+                opts.local_indel, kband=jnp.asarray(kband))
+            arrows = np.asarray(arrows)
+        else:
+            score, arrows = banded_global_np(
+                q, t, qlen, tlen, K, opts.local_match, opts.local_mismatch,
+                opts.local_indel, kband)
         for b, (job, kb) in enumerate(items):
             blocks, _ = traceback_banded(arrows[b], qlen[b], tlen[b], K)
             job.blocks = blocks

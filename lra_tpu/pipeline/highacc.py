@@ -139,16 +139,28 @@ def _expand_chain(chain_frag_ids, backref, ext_clusters):
 
 
 def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
-              use_device: bool = True, genome_li=None) -> list:
+              use_device: bool = True, genome_li=None, timing=None,
+              dots=None) -> list:
     """reads: list of (name, codes, qual|None).  Returns list of ReadState
-    with .groups filled (SAM emission is io/sam.py's job)."""
+    with .groups filled (SAM emission is io/sam.py's job).
+
+    timing: optional utils.timing.Timing ticked per batch stage;
+    dots: optional {read_name: DotDumper} stage-dump hooks
+    (the reference's -d --read debug system, SURVEY.md §4)."""
     gp = from_options(opts)
     states = [ReadState(n, c, q) for (n, c, q) in reads]
+    if timing:
+        timing.start()
 
     # ---- host: anchors -> clusters -> split clusters ----
     sdp1_problems = []
     for st in states:
         fwd, rev = find_matches(st.codes, index, opts)
+        dd = dots.get(st.name) if dots else None
+        if dd:
+            dd.dump("all-matches", np.concatenate([fwd.qpos, rev.qpos]),
+                    np.concatenate([fwd.tpos, rev.tpos]),
+                    np.full(len(fwd) + len(rev), index.k))
         if len(fwd) == 0 and len(rev) == 0:
             st.unaligned = True
             continue
@@ -156,6 +168,8 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
                                                 genome, index.k, 0)
                        + matches_to_fine_clusters(rev.qpos, rev.tpos, opts,
                                                   genome, index.k, 1))
+        if dd:
+            dd.dump_clusters("fineclusters_byunique", st.clusters)
         if not st.clusters:
             st.unaligned = True
             continue
@@ -170,8 +184,12 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
         st.sdp1 = make_sdp1_problem(st.split, rate, gp)
         sdp1_problems.append(st.sdp1)
 
+    if timing:
+        timing.tick("anchors+clusters")
     # ---- device: SDP-1 ----
     solve_problems(sdp1_problems, gp, use_device)
+    if timing:
+        timing.tick("SDP-1 (device)")
 
     # ---- host: chains -> extension -> SDP-2 problems ----
     sdp2_problems = []
@@ -262,8 +280,12 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
             if p is not None:
                 sdp2_problems.append(p)
 
+    if timing:
+        timing.tick("refine+extend")
     # ---- device: SDP-2 ----
     solve_problems(sdp2_problems, gp, use_device)
+    if timing:
+        timing.tick("SDP-2 (device)")
 
     # ---- host: final chains -> segments + gap jobs ----
     gap_jobs = []
@@ -293,12 +315,21 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
             if group.segments:
                 st.groups.append(group)
 
+    if timing:
+        timing.tick("chain+assemble")
     # ---- device: gap alignment + host finalize ----
-    finalize_batch(states, gap_jobs, genome, opts, use_device)
+    finalize_batch(states, gap_jobs, genome, opts, use_device, timing)
+    if dots:
+        for st in states:
+            dd = dots.get(st.name)
+            if dd:
+                for group in st.groups:
+                    dd.dump_blocks("alignment", group.segments)
     return states
 
 
-def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
+def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
+                   timing=None) -> None:
     """Shared final phase: solve gap jobs on device, splice blocks, run
     the indel-refine pass (second batched device round), compute
     CIGAR/stats, rank groups, assign MAPQ."""
@@ -307,6 +338,8 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
                                       splice_refined_blocks)
 
     solve_gap_jobs(gap_jobs, opts, use_device)
+    if timing:
+        timing.tick("gap-align (device)")
     by_key: dict = {}
     for job in gap_jobs:
         by_key.setdefault(job.key[:3], []).append(job)
@@ -334,7 +367,11 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
                     seg, read, chrom_codes, opts, (si, gi, zi)))
 
     # second device round: banded re-alignment of fragmented regions
+    if timing:
+        timing.tick("gap-splice+plan")
     solve_gap_jobs(ir_jobs, opts, use_device)
+    if timing:
+        timing.tick("indel-refine (device)")
     ir_by_key: dict = {}
     for job in ir_jobs:
         ir_by_key.setdefault(job.key[:3], []).append(job)
@@ -379,6 +416,8 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True) -> None:
             nseg = len(group.segments)
             for s_i, seg in enumerate(group.segments):
                 seg.order = nseg - 1 - s_i
+    if timing:
+        timing.tick("score+mapq")
 
 
 def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
