@@ -92,11 +92,17 @@ def minimizers(
     """Extract minimizer occurrences from a 2-bit code array.
 
     Returns (tuples, positions, strands), positions strictly increasing.
-    strands is all-zero when canonical=False.
+    strands is all-zero when canonical=False.  Uses the native C++
+    extractor when built (identical output; see native/lra_native.cpp).
     """
     empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8))
     if len(codes) < k + w - 1:
         return empty
+    from .. import native
+    res = native.minimizers(codes, k, w, canonical) if native.available() \
+        else None
+    if res is not None:
+        return res
     fwd, rc, valid = kmer_codes(codes, k)
     if canonical:
         use_rc = rc < fwd  # ties -> forward (k odd => no self-RC ties)

@@ -48,6 +48,12 @@ class Genome:
 
     @classmethod
     def from_fasta(cls, path: str) -> "Genome":
+        from .. import native
+        if native.available():
+            loaded = native.load_seqs(path)
+            if loaded is not None:
+                names, offsets, codes, _ = loaded
+                return cls(names, offsets[1:].copy(), codes)
         names, ends, parts = [], [], []
         off = 0
         for rec in read_fasta(path):

@@ -1,0 +1,119 @@
+"""ctypes bindings for the native runtime library.
+
+Auto-builds liblra_native.so on first import if a compiler is available;
+every entry point has a pure-Python fallback, so the package works
+without the native layer (``available()`` reports which path is live).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "liblra_native.so")
+_lib = None
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        _try_build()
+    if not os.path.exists(_SO):
+        _lib = False
+        return _lib
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        _lib = False
+        return _lib
+    lib.lrn_load_seqs.restype = ctypes.c_int
+    lib.lrn_load_seqs.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.lrn_minimizers.restype = ctypes.c_int64
+    lib.lrn_minimizers.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def load_seqs(path: str, want_quals: bool = False):
+    """Native FASTA/FASTQ(.gz) loader.
+
+    Returns (names, offsets int64[n+1], codes uint8, quals|None) or None
+    if the native library is unavailable.
+    """
+    lib = _load()
+    if not lib:
+        return None
+    tl = ctypes.c_int64()
+    ns = ctypes.c_int64()
+    nl = ctypes.c_int64()
+    rc = lib.lrn_load_seqs(path.encode(), None, 0, None, 0, None, 0, None,
+                           ctypes.byref(tl), ctypes.byref(ns),
+                           ctypes.byref(nl))
+    if rc != 0:
+        raise IOError(f"lrn_load_seqs({path}) failed: {rc}")
+    codes = np.empty(tl.value, np.uint8)
+    offsets = np.empty(ns.value + 1, np.int64)
+    names_buf = ctypes.create_string_buffer(max(1, nl.value))
+    quals = np.empty(tl.value, np.uint8) if want_quals else None
+    rc = lib.lrn_load_seqs(
+        path.encode(),
+        codes.ctypes.data_as(ctypes.c_void_p), codes.size,
+        offsets.ctypes.data_as(ctypes.c_void_p), offsets.size,
+        names_buf, nl.value,
+        quals.ctypes.data_as(ctypes.c_void_p) if want_quals else None,
+        ctypes.byref(tl), ctypes.byref(ns), ctypes.byref(nl))
+    if rc != 0:
+        raise IOError(f"lrn_load_seqs({path}) fill failed: {rc}")
+    names = names_buf.raw[:nl.value].decode().split("\n")[:-1]
+    return names, offsets, codes, quals
+
+
+def minimizers(codes: np.ndarray, k: int, w: int, canonical: bool = True):
+    """Native minimizer extraction; None if unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    cap = max(16, len(codes))
+    tup = np.empty(cap, np.uint64)
+    pos = np.empty(cap, np.uint32)
+    strand = np.empty(cap, np.uint8)
+    n = lib.lrn_minimizers(
+        codes.ctypes.data_as(ctypes.c_void_p), len(codes), k, w,
+        1 if canonical else 0,
+        tup.ctypes.data_as(ctypes.c_void_p),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        strand.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        raise RuntimeError("lrn_minimizers capacity exceeded")
+    return tup[:n].copy(), pos[:n].copy(), strand[:n].copy()

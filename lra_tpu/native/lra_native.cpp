@@ -1,0 +1,235 @@
+// Native runtime components: sequence data loader + minimizer extraction.
+//
+// The reference's runtime I/O layer is C++ over htslib/kseq
+// (reference: Input.h:23-421, MinCount.h:8-179); this library provides the
+// TPU framework's native equivalents, exposed through a plain C ABI and
+// bound with ctypes (no pybind11 in the image).
+//
+//   - lrn_load_seqs: stream FASTA/FASTQ (plain or gzip) into one
+//     concatenated 2-bit code buffer + per-record offsets/names.
+//     Two-call protocol: pass null buffers to obtain sizes.
+//   - lrn_minimizers: canonical windowed-minimum minimizer extraction,
+//     identical semantics to index/minimizers.py (leftmost tie-break,
+//     N-window masking, strand bit as separate array).
+//
+// Build: make -C lra_tpu/native  (g++ -O3 -shared -fPIC, links zlib).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+const uint8_t N_CODE = 4;
+
+inline uint8_t code_of(int c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return N_CODE;
+  }
+}
+
+struct Reader {
+  gzFile f;
+  explicit Reader(const char* path) { f = gzopen(path, "rb"); }
+  ~Reader() { if (f) gzclose(f); }
+  bool ok() const { return f != nullptr; }
+  int getc_() { return gzgetc(f); }
+  bool getline(std::string& out) {
+    out.clear();
+    int c;
+    while ((c = gzgetc(f)) != -1) {
+      if (c == '\n') return true;
+      if (c != '\r') out.push_back(static_cast<char>(c));
+    }
+    return !out.empty();
+  }
+};
+
+struct Rec {
+  std::string name;
+  std::string seq;
+  std::string qual;
+};
+
+// Streaming record parser for FASTA/FASTQ.
+struct SeqStream {
+  Reader r;
+  int format;  // 0 unknown, 1 fasta, 2 fastq
+  std::string pending;  // lookahead line (fasta headers)
+  bool have_pending = false;
+
+  explicit SeqStream(const char* path) : r(path), format(0) {}
+
+  bool next(Rec& rec) {
+    std::string line;
+    if (!have_pending) {
+      if (!r.getline(line)) return false;
+    } else {
+      line = pending;
+      have_pending = false;
+    }
+    while (line.empty()) {
+      if (!r.getline(line)) return false;
+    }
+    if (line[0] == '>') {
+      format = 1;
+      size_t sp = line.find_first_of(" \t");
+      rec.name = line.substr(1, sp == std::string::npos ? std::string::npos
+                                                        : sp - 1);
+      rec.seq.clear();
+      rec.qual.clear();
+      while (r.getline(line)) {
+        if (!line.empty() && line[0] == '>') {
+          pending = line;
+          have_pending = true;
+          break;
+        }
+        rec.seq += line;
+      }
+      return true;
+    }
+    if (line[0] == '@') {
+      format = 2;
+      size_t sp = line.find_first_of(" \t");
+      rec.name = line.substr(1, sp == std::string::npos ? std::string::npos
+                                                        : sp - 1);
+      if (!r.getline(rec.seq)) return false;
+      std::string plus;
+      if (!r.getline(plus)) return false;
+      if (!r.getline(rec.qual)) return false;
+      return true;
+    }
+    return false;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Two-call protocol. First call with codes=nullptr fills *total_len,
+// *n_seqs, *names_len. Second call fills buffers.
+// offsets: int64[n_seqs+1] cumulative code offsets.
+// names: '\n'-joined record names (names_len bytes incl. separators).
+// quals: optional (may be null) — Phred+33 bytes aligned with codes.
+// Returns 0 on success, negative errno-style codes otherwise.
+int lrn_load_seqs(const char* path,
+                  uint8_t* codes, int64_t codes_cap,
+                  int64_t* offsets, int64_t offsets_cap,
+                  char* names, int64_t names_cap,
+                  uint8_t* quals,
+                  int64_t* total_len, int64_t* n_seqs,
+                  int64_t* names_len) {
+  SeqStream s(path);
+  if (!s.r.ok()) return -1;
+  Rec rec;
+  int64_t tl = 0, ns = 0, nl = 0;
+  bool fill = codes != nullptr;
+  if (fill && offsets_cap > 0) offsets[0] = 0;
+  while (s.next(rec)) {
+    if (fill) {
+      if (tl + static_cast<int64_t>(rec.seq.size()) > codes_cap) return -2;
+      if (ns + 2 > offsets_cap) return -3;
+      if (nl + static_cast<int64_t>(rec.name.size()) + 1 > names_cap)
+        return -4;
+      for (size_t i = 0; i < rec.seq.size(); i++) {
+        codes[tl + i] = code_of(rec.seq[i]);
+      }
+      if (quals != nullptr) {
+        if (rec.qual.size() == rec.seq.size()) {
+          memcpy(quals + tl, rec.qual.data(), rec.qual.size());
+        } else {
+          memset(quals + tl, 0xFF, rec.seq.size());
+        }
+      }
+      memcpy(names + nl, rec.name.data(), rec.name.size());
+      names[nl + rec.name.size()] = '\n';
+      offsets[ns + 1] = tl + static_cast<int64_t>(rec.seq.size());
+    }
+    tl += static_cast<int64_t>(rec.seq.size());
+    nl += static_cast<int64_t>(rec.name.size()) + 1;
+    ns += 1;
+  }
+  *total_len = tl;
+  *n_seqs = ns;
+  *names_len = nl;
+  return 0;
+}
+
+// Canonical minimizer extraction; identical semantics to
+// index/minimizers.py (leftmost tie-break, windows with N dropped,
+// distinct occurrences by position).  Returns count, or -1 if cap too
+// small.  out_* arrays must hold at least `cap` entries.
+int64_t lrn_minimizers(const uint8_t* codes, int64_t len, int k, int w,
+                       int canonical,
+                       uint64_t* out_tuple, uint32_t* out_pos,
+                       uint8_t* out_strand, int64_t cap) {
+  if (len < k + w - 1) return 0;
+  const int64_t nk = len - k + 1;
+  const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  std::vector<uint64_t> canon(nk);
+  std::vector<uint8_t> strand(nk);
+  std::vector<uint8_t> valid(nk);
+
+  uint64_t fwd = 0, rc = 0;
+  int bad_run = 0;  // bases since last N within the current k-window
+  const int shift_rc = 2 * (k - 1);
+  // prime first k-1 bases
+  int64_t i = 0;
+  for (; i < len; i++) {
+    uint8_t c = codes[i];
+    uint8_t b = (c >= 4) ? 0 : c;
+    fwd = ((fwd << 2) | b) & mask;
+    rc = (rc >> 2) | (static_cast<uint64_t>(3 - b) << shift_rc);
+    if (c >= 4) bad_run = 0; else bad_run++;
+    if (i >= k - 1) {
+      int64_t p = i - k + 1;
+      valid[p] = bad_run >= k;
+      if (canonical) {
+        if (rc < fwd) { canon[p] = rc; strand[p] = 1; }
+        else { canon[p] = fwd; strand[p] = 0; }
+      } else {
+        canon[p] = fwd;
+        strand[p] = 0;
+      }
+    }
+  }
+
+  // sliding window minimum with leftmost tie-break (monotonic deque)
+  std::vector<int64_t> deque_idx(nk);
+  int64_t qh = 0, qt = 0;  // [qh, qt)
+  int64_t count = 0;
+  int64_t last_pos = -1;
+  // windows with any invalid k-mer are skipped; track last invalid
+  int64_t last_bad = -1;
+  for (int64_t p = 0; p < nk; p++) {
+    if (!valid[p]) last_bad = p;
+    // evict out-of-window from front
+    while (qh < qt && deque_idx[qh] <= p - w) qh++;
+    // evict strictly larger from back (keep leftmost among equals)
+    while (qh < qt && canon[deque_idx[qt - 1]] > canon[p]) qt--;
+    deque_idx[qt++] = p;
+    int64_t win_start = p - w + 1;
+    if (win_start < 0) continue;
+    if (last_bad >= win_start) continue;  // window touches an N
+    int64_t mp = deque_idx[qh];
+    if (mp != last_pos) {
+      if (count >= cap) return -1;
+      out_tuple[count] = canon[mp];
+      out_pos[count] = static_cast<uint32_t>(mp);
+      out_strand[count] = strand[mp];
+      count++;
+      last_pos = mp;
+    }
+  }
+  return count;
+}
+
+}  // extern "C"

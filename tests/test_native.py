@@ -1,0 +1,70 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from lra_tpu import native, seq as sequtils
+from lra_tpu.index.minimizers import (_sliding_min, kmer_codes)
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def _numpy_minimizers(codes, k, w, canonical=True):
+    """The pure-numpy reference path (native bypassed)."""
+    fwd, rc, valid = kmer_codes(codes, k)
+    if canonical:
+        use_rc = rc < fwd
+        canon = np.where(use_rc, rc, fwd)
+        strand = use_rc.astype(np.uint8)
+    else:
+        canon, strand = fwd, np.zeros(len(fwd), np.uint8)
+    canon_m = np.where(valid, canon, np.uint64(0xFFFFFFFFFFFFFFFF))
+    _, argpos = _sliding_min(canon_m, w)
+    vcs = np.concatenate([[0], np.cumsum(valid.astype(np.int32))])
+    win_valid = (vcs[w:] - vcs[:-w]) == w
+    argpos = argpos[win_valid]
+    if len(argpos) == 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                np.zeros(0, np.uint8))
+    keep = np.concatenate([[True], argpos[1:] != argpos[:-1]])
+    occ = argpos[keep]
+    return canon[occ], occ.astype(np.uint32), strand[occ]
+
+
+def test_native_minimizers_match_numpy(rng):
+    for trial in range(20):
+        n = int(rng.integers(100, 3000))
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        if trial % 3 == 0:
+            p = int(rng.integers(0, n - 10))
+            codes[p:p + 5] = 4
+        for k, w, canon in [(15, 10, True), (25, 20, True), (10, 5, False)]:
+            a = native.minimizers(codes, k, w, canon)
+            b = _numpy_minimizers(codes, k, w, canon)
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y), (trial, k, w, canon)
+
+
+def test_native_loader_fasta_and_fastq_gz(rng, tmp_path):
+    seqs = [(f"s{i}", sequtils.decode(
+        rng.integers(0, 4, int(rng.integers(50, 300))).astype(np.uint8)))
+        for i in range(7)]
+    fa = tmp_path / "x.fa"
+    with open(fa, "w") as f:
+        for n, s in seqs:
+            f.write(f">{n} desc\n")
+            for i in range(0, len(s), 61):
+                f.write(s[i:i + 61] + "\n")
+    fq = tmp_path / "x.fq.gz"
+    with gzip.open(fq, "wt") as f:
+        for n, s in seqs:
+            f.write(f"@{n}\n{s}\n+\n{'5' * len(s)}\n")
+    for path, wq in ((str(fa), False), (str(fq), True)):
+        names, offsets, codes, quals = native.load_seqs(path, want_quals=wq)
+        assert names == [n for n, _ in seqs]
+        for i, (n, s) in enumerate(seqs):
+            assert sequtils.decode(codes[offsets[i]:offsets[i + 1]]) == s
+        if wq:
+            assert (quals == ord("5")).all()
