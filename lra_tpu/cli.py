@@ -50,6 +50,8 @@ def _parser(align: bool) -> argparse.ArgumentParser:
         p.add_argument("--batch", type=int, default=64)
         p.add_argument("--cpu", action="store_true",
                        help="host-only kernels (no device)")
+        p.add_argument("--passthrough", action="store_true",
+                       help="re-emit input BAM/SAM tags on output records")
         p.add_argument("--timing", default="",
                        help="write per-stage timing report to this file")
         p.add_argument("-d", "--dotplot", default="",
@@ -87,6 +89,7 @@ def cmd_align(argv) -> int:
     opts, rest = _preset_from_args(argv)
     args = _parser(True).parse_args(rest)
     opts.print_format = args.printformat
+    opts.passthrough_tag = args.passthrough
     if args.cpu:
         import jax
 
@@ -140,7 +143,8 @@ def cmd_align(argv) -> int:
     for i, rec in enumerate(read_seqs(args.reads)):
         if i < args.start or (i - args.start) % args.stride != 0:
             continue
-        batch.append((rec.name, rec.seq, rec.qual))
+        batch.append((rec.name, rec.seq, rec.qual,
+                      getattr(rec, "passthrough", None)))
         if len(batch) >= args.batch:
             flush()
             print(f"aligned {n} reads ({n/(time.time()-t0):.1f} reads/s)",

@@ -36,10 +36,15 @@ def _open(path: str):
 
 def sniff_format(path: str) -> str:
     with _open(path) as f:
-        first = f.read(1)
-    if first == b">":
+        first = f.read(4)
+    if first[:1] == b">":
         return "fasta"
-    if first == b"@":
+    if first == b"BAM\x01":
+        return "bam"
+    if first[:1] == b"@":
+        # SAM headers start with @HD/@SQ/@RG/@PG/@CO; FASTQ names are free-form
+        if first[1:3] in (b"HD", b"SQ", b"RG", b"PG", b"CO"):
+            return "sam"
         return "fastq"
     raise ValueError(f"unrecognized sequence file format: {path}")
 
@@ -77,4 +82,9 @@ def read_fastq(path: str) -> Iterator[SeqRecord]:
 
 def read_seqs(path: str) -> Iterator[SeqRecord]:
     fmt = sniff_format(path)
-    return read_fasta(path) if fmt == "fasta" else read_fastq(path)
+    if fmt == "fasta":
+        return read_fasta(path)
+    if fmt == "fastq":
+        return read_fastq(path)
+    from .bam import read_bam, read_sam_text
+    return read_bam(path) if fmt == "bam" else read_sam_text(path)

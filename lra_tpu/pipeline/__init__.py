@@ -21,9 +21,12 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
     reads: iterable of (name, seq) where seq is str/bytes/uint8-codes.
     """
     prepared = []
+    passthrough = {}
     for item in reads:
         name, s = item[0], item[1]
         qual = item[2] if len(item) > 2 else None
+        if len(item) > 3 and item[3]:
+            passthrough[name] = item[3]
         codes = s if isinstance(s, np.ndarray) else sequtils.encode(s)
         prepared.append((name, codes, qual))
     if opts.bypass_clustering:
@@ -51,7 +54,9 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
                 elif opts.print_format == "b":
                     lines.append(bed_record(seg, st.name, genome))
                 else:
-                    lines.append(sam_record(seg, st.name, st.codes, st.rc,
-                                            genome, opts, group, s_i,
-                                            st.qual))
+                    line = sam_record(seg, st.name, st.codes, st.rc,
+                                      genome, opts, group, s_i, st.qual)
+                    if opts.passthrough_tag and st.name in passthrough:
+                        line += "\t" + passthrough[st.name]
+                    lines.append(line)
     return states, lines
