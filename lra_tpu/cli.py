@@ -4,6 +4,7 @@ Mirrors the reference binary's subcommands (reference: lra.cpp:1029-1068):
 
   lra_tpu index ref.fa [-CCS|-CLR|-ONT|-CONTIG]   build global+local indexes
   lra_tpu align ref.fa reads.fa -CCS ...          align reads -> SAM/PAF
+  lra_tpu simulate ref.fa [-c COV|-n N] [--model aln.sam]  simulate reads
 
 (`global` and `local` build each index separately, as in the reference.)
 
@@ -158,6 +159,47 @@ def cmd_align(argv) -> int:
     return 0
 
 
+def cmd_simulate(argv) -> int:
+    """alchemy2-equivalent model-based simulation."""
+    p = argparse.ArgumentParser(prog="lra_tpu simulate")
+    p.add_argument("ref")
+    p.add_argument("-c", "--coverage", type=float, default=None)
+    p.add_argument("-n", "--nreads", type=int, default=None)
+    p.add_argument("--bases", type=int, default=None)
+    p.add_argument("--model", default="",
+                   help="aligned SAM to learn the error model from")
+    p.add_argument("--mismatch", type=float, default=0.002)
+    p.add_argument("--ins", type=float, default=0.001)
+    p.add_argument("--dele", type=float, default=0.001)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--out", default="-")
+    args = p.parse_args(argv)
+    from . import seq as sequtils
+    from .sim_model import ErrorModel, learn_model
+
+    genome = Genome.from_fasta(args.ref)
+    if args.model:
+        model = learn_model(args.model, genome)
+    else:
+        model = ErrorModel.uniform(mismatch=args.mismatch, ins=args.ins,
+                                   dele=args.dele)
+    rng = np.random.default_rng(args.seed)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    n = 0
+    if args.coverage is None and args.nreads is None and args.bases is None:
+        args.nreads = 100
+    for name, codes in model.simulate(rng, genome.codes,
+                                      coverage=args.coverage,
+                                      total_bases=args.bases,
+                                      n_reads=args.nreads):
+        out.write(f">{name}\n{sequtils.decode(codes)}\n")
+        n += 1
+    print(f"simulated {n} reads", file=sys.stderr)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -168,6 +210,8 @@ def main(argv=None) -> int:
         return cmd_index(rest)
     if cmd == "align":
         return cmd_align(rest)
+    if cmd == "simulate":
+        return cmd_simulate(rest)
     print(f"unknown subcommand {cmd!r}", file=sys.stderr)
     return 1
 
