@@ -5,6 +5,7 @@ Mirrors the reference binary's subcommands (reference: lra.cpp:1029-1068):
   lra_tpu index ref.fa [-CCS|-CLR|-ONT|-CONTIG]   build global+local indexes
   lra_tpu align ref.fa reads.fa -CCS ...          align reads -> SAM/PAF
   lra_tpu simulate ref.fa [-c COV|-n N] [--model aln.sam]  simulate reads
+  lra_tpu callsv ref.fa aln.sam [--min-length 25]  SV calls -> VCF
 
 (`global` and `local` build each index separately, as in the reference.)
 
@@ -200,6 +201,43 @@ def cmd_simulate(argv) -> int:
     return 0
 
 
+def cmd_callsv(argv) -> int:
+    p = argparse.ArgumentParser(prog="lra_tpu callsv")
+    p.add_argument("ref")
+    p.add_argument("sam", nargs="+",
+                   help="one SAM (single sample) or two (hap1 hap2, merged)")
+    p.add_argument("--min-length", type=int, default=25)
+    p.add_argument("--sample", default="sample")
+    p.add_argument("-o", "--out", default="-")
+    args = p.parse_args(argv)
+    from .sv import (VCF_HEADER, calls_from_sam, merge_haplotypes,
+                     sam_to_vcf)
+
+    genome = Genome.from_fasta(args.ref)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    if len(args.sam) == 1:
+        n = sam_to_vcf(args.sam[0], genome, out, args.sample,
+                       args.min_length)
+    else:
+        h1 = list(calls_from_sam(args.sam[0], genome, args.min_length))
+        h2 = list(calls_from_sam(args.sam[1], genome, args.min_length))
+        merged = merge_haplotypes(h1, h2)
+        out.write(VCF_HEADER)
+        for i, name in enumerate(genome.names):
+            ln = int(genome.ends[i] - genome.starts()[i])
+            out.write(f"##contig=<ID={name},length={ln}>\n")
+        out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                  f"FORMAT\t{args.sample}\n")
+        n = 0
+        for c in merged:
+            out.write(c.to_vcf() + "\n")
+            n += 1
+    print(f"wrote {n} SV records", file=sys.stderr)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -212,6 +250,8 @@ def main(argv=None) -> int:
         return cmd_align(rest)
     if cmd == "simulate":
         return cmd_simulate(rest)
+    if cmd == "callsv":
+        return cmd_callsv(rest)
     print(f"unknown subcommand {cmd!r}", file=sys.stderr)
     return 1
 
