@@ -33,6 +33,18 @@ from ..options import Options
 _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
+def _chain_packed(qS, qE, tS, tE, sc, l1, l2, valid, key):
+    """One int32[3, B, N] result (V bitcast, bp, lane): a single d2h
+    transfer per bucket instead of three (the tunneled TPU pays a ~28ms
+    latency floor per download)."""
+    import jax
+    import jax.numpy as jnp
+
+    V, bp, lane = chain_scores_blocked(qS, qE, tS, tE, sc, l1, l2, valid,
+                                       key)
+    return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32), bp, lane])
+
+
 def _bucket(n: int) -> int:
     for b in _BUCKETS:
         if n <= b:
@@ -84,6 +96,7 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
     for p in large:
         by_bucket.setdefault(_bucket(len(p.qS)), []).append(p)
     key = gp.static_key()
+    pending = []
     for N, plist in by_bucket.items():
         B = _pow2(len(plist), 8)
         def pad(attr, dtype, fill=0):
@@ -102,11 +115,18 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
         valid = np.zeros((B, N), bool)
         for b, p in enumerate(plist):
             valid[b, :len(p.qS)] = True
-        V, bp, lane = chain_scores_blocked(
+        # async dispatch across all buckets before any download
+        packed = _chain_packed(
             jnp.asarray(qS), jnp.asarray(qE), jnp.asarray(tS),
             jnp.asarray(tE), jnp.asarray(sc), jnp.asarray(l1),
             jnp.asarray(l2), jnp.asarray(valid), key)
-        V, bp, lane = np.asarray(V), np.asarray(bp), np.asarray(lane)
+        pending.append((plist, packed))
+    for _, packed in pending:
+        packed.copy_to_host_async()
+    for plist, packed in pending:
+        packed = np.asarray(packed)
+        V = packed[0].view(np.float32)
+        bp, lane = packed[1], packed[2]
         for b, p in enumerate(plist):
             n = len(p.qS)
             p.V, p.bp, p.lane = V[b, :n].copy(), bp[b, :n].copy(), \

@@ -31,14 +31,14 @@ from ..align.affine import DIAG, DONE, DOWN, LEFT, MISSING
 NEGF = jnp.float32(-1.0e30)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "m", "mm", "indel"))
-def banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel, kband=None):
-    """q: int8[B,Q] codes, t: int8[B,T], qlen/tlen: int32[B].
+def _banded_arrows(q, t, qlen, tlen, K, m, mm, indel, kband=None):
+    """Core banded DP; returns (score f32[B], arrows int8[T+1, B, band]).
+
+    q: int8[B,Q] codes, t: int8[B,T], qlen/tlen: int32[B].
 
     kband: optional int32[B] per-problem band halfwidth <= K (cells with
     |i - j| > kband are rails); defaults to K.  Requires
-    |qlen - tlen| <= kband.  Returns (score f32[B],
-    arrows int8[B, T+1, 2K+1]) where arrows[b, j, d] is the op at cell
+    |qlen - tlen| <= kband.  arrows[j, b, d] is the op at cell
     i = j + d - K.
     """
     B, Q = q.shape
@@ -113,7 +113,79 @@ def banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel, kband=None):
     arrows = jnp.concatenate([arrows0[None], arrows], axis=0)
     d_final = (qlen - tlen + K).astype(jnp.int32)
     score = rows[tlen, jnp.arange(B), d_final]
+    return score, arrows
+
+
+@functools.partial(jax.jit, static_argnames=("K", "m", "mm", "indel"))
+def banded_global_kernel(q, t, qlen, tlen, K, m, mm, indel, kband=None):
+    """(score f32[B], arrows int8[B, T+1, 2K+1]); see _banded_arrows."""
+    score, arrows = _banded_arrows(q, t, qlen, tlen, K, m, mm, indel, kband)
     return score, jnp.transpose(arrows, (1, 0, 2))
+
+
+def _traceback_ops_device(arrows, qlen, tlen, K, L):
+    """Device traceback over arrows [T+1, B, band]: walk each problem from
+    (qlen, tlen) to (0, 0) simultaneously, emitting one op per step into a
+    fixed [B, L] int8 plane (-1 past the end).  Downloading this plane is
+    O(path length) instead of O(band * T) — on the tunneled TPU where d2h
+    has a ~28ms latency floor and ~12MB/s bandwidth, this is the
+    difference between ~0.1MB and ~4MB per bucket."""
+    T1, B, band = arrows.shape
+    flat = arrows.reshape(-1)
+    barange = jnp.arange(B, dtype=jnp.int32)
+
+    def step(state, _):
+        i, j, active = state
+        d = i - j + K
+        ok = active & (i >= 0) & (j >= 0) & (d >= 0) & (d < band)
+        jc = jnp.clip(j, 0, T1 - 1)
+        dc = jnp.clip(d, 0, band - 1)
+        a = flat[(jc * B + barange) * band + dc]
+        a = jnp.where(ok & (a != DONE), a, jnp.int8(-1))
+        active2 = a >= 0
+        di = jnp.where((a == DIAG) | (a == LEFT), 1, 0)
+        dj = jnp.where((a == DIAG) | (a == DOWN), 1, 0)
+        return ((i - di).astype(jnp.int32), (j - dj).astype(jnp.int32),
+                active2), a
+
+    init = (qlen.astype(jnp.int32), tlen.astype(jnp.int32),
+            jnp.ones(qlen.shape, bool))
+    _, ops = jax.lax.scan(step, init, None, length=L)
+    return jnp.transpose(ops)    # [B, L], end-of-alignment first
+
+
+@functools.partial(jax.jit, static_argnames=("K", "m", "mm", "indel"))
+def banded_global_traced(q, t, qlen, tlen, K, m, mm, indel, kband=None):
+    """Banded DP + on-device traceback.
+
+    Returns ops int8[B, Q+T]: per problem, the op codes (DIAG/LEFT/DOWN)
+    walking backward from (qlen, tlen), -1-padded after termination.
+    """
+    score, arrows = _banded_arrows(q, t, qlen, tlen, K, m, mm, indel, kband)
+    L = q.shape[1] + t.shape[1]
+    return _traceback_ops_device(arrows, qlen, tlen, K, L)
+
+
+def blocks_from_ops_row(row: np.ndarray):
+    """One problem's device-traceback ops (end-first, -1 padded) ->
+    [(q_off, t_off, len)] match blocks, same semantics as
+    traceback_banded."""
+    neg = np.nonzero(row < 0)[0]
+    n = int(neg[0]) if len(neg) else len(row)
+    if n == 0:
+        return []
+    ops = row[:n][::-1]
+    change = np.nonzero(np.diff(ops))[0]
+    starts = np.concatenate(([0], change + 1))
+    lens = np.diff(np.concatenate((starts, [n])))
+    vals = ops[starts]
+    dq = np.where((vals == LEFT) | (vals == DIAG), lens, 0)
+    dt = np.where((vals == DOWN) | (vals == DIAG), lens, 0)
+    qoff = np.cumsum(dq) - dq
+    toff = np.cumsum(dt) - dt
+    sel = vals == DIAG
+    return list(zip(qoff[sel].tolist(), toff[sel].tolist(),
+                    lens[sel].tolist()))
 
 
 def traceback_banded(arrows: np.ndarray, qlen: int, tlen: int, K: int):

@@ -14,12 +14,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..align.affine import affine_one_gap_align
-from ..ops.affine_kernel import (banded_global_kernel,
-                                 banded_global_np,
-                                 traceback_banded)
+from ..ops.affine_kernel import (banded_global_np, banded_global_traced,
+                                 blocks_from_ops_row, traceback_banded)
 from ..options import Options
 
-_SIZE_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+# coarse on purpose: every (K, S) class is a separate device dispatch +
+# download, and on the tunneled TPU a download has a ~28ms latency floor
+_SIZE_BUCKETS = (64, 512, 2048)
 
 
 def _pow2_at_least(n: int, lo: int = 16) -> int:
@@ -46,7 +47,15 @@ class GapJob:
 
 
 def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
-    """Fills job.blocks with [(q_off, t_off, len)] relative to gap start."""
+    """Fills job.blocks with [(q_off, t_off, len)] relative to gap start.
+
+    Dispatch strategy: on the tunneled TPU each host->device round trip
+    costs ~30-50ms regardless of shape, so the scarce resource is
+    dispatches, not FLOPs.  Jobs are bucketed by a SINGLE square size
+    class (max of q/t length) x band class to minimize bucket count, all
+    buckets are dispatched asynchronously before any result is
+    downloaded, and host traceback runs after the last download starts.
+    """
     import jax.numpy as jnp
 
     device_jobs: dict = {}
@@ -66,23 +75,24 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             Kc = 2 * opts.local_band if kb <= 2 * opts.local_band else \
                 2 * _pow2_at_least(kb // 2)
             if Kc <= 512:
-                bucket = (Kc, _size_bucket(ql), _size_bucket(tl))
-                device_jobs.setdefault(bucket, []).append((job, kb))
+                S = _size_bucket(max(ql, tl))
+                device_jobs.setdefault((Kc, S), []).append((job, kb))
                 continue
         res = affine_one_gap_align(job.q, job.t, opts.local_match,
                                    opts.local_mismatch, opts.local_indel,
                                    band_in)
         job.blocks = res.blocks
 
-    for (K, Qb, Tb), items in device_jobs.items():
+    pending = []
+    for (K, S), items in device_jobs.items():
         if use_device:
             B = 8
             while B < len(items):
                 B *= 2
         else:
             B = len(items)
-        q = np.full((B, Qb), 4, np.int8)
-        t = np.full((B, Tb), 4, np.int8)
+        q = np.full((B, S), 4, np.int8)
+        t = np.full((B, S), 4, np.int8)
         qlen = np.zeros(B, np.int32)
         tlen = np.zeros(B, np.int32)
         kband = np.zeros(B, np.int32)
@@ -93,15 +103,29 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             tlen[b] = len(job.t)
             kband[b] = kb
         if use_device:
-            score, arrows = banded_global_kernel(
+            # async dispatch: traceback runs on device; only the compact
+            # [B, 2S] op plane comes back
+            ops = banded_global_traced(
                 jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
                 jnp.asarray(tlen), K, opts.local_match, opts.local_mismatch,
                 opts.local_indel, kband=jnp.asarray(kband))
-            arrows = np.asarray(arrows)
+            pending.append((None, items, qlen, tlen, ops))
         else:
-            score, arrows = banded_global_np(
+            _score, arrows = banded_global_np(
                 q, t, qlen, tlen, K, opts.local_match, opts.local_mismatch,
                 opts.local_indel, kband)
-        for b, (job, kb) in enumerate(items):
-            blocks, _ = traceback_banded(arrows[b], qlen[b], tlen[b], K)
-            job.blocks = blocks
+            pending.append((K, items, qlen, tlen, arrows))
+
+    # start all d2h copies before blocking on any
+    for K, items, qlen, tlen, buf in pending:
+        if K is None:
+            buf.copy_to_host_async()
+    for K, items, qlen, tlen, buf in pending:
+        if K is None:
+            ops = np.asarray(buf)
+            for b, (job, kb) in enumerate(items):
+                job.blocks = blocks_from_ops_row(ops[b])
+        else:
+            for b, (job, kb) in enumerate(items):
+                blocks, _ = traceback_banded(buf[b], qlen[b], tlen[b], K)
+                job.blocks = blocks

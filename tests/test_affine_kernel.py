@@ -65,3 +65,47 @@ def test_device_batch_padding_independence(rng):
     b1, _ = traceback_banded(a1[0], ql[0], tl[0], 2 * k)
     b2, _ = traceback_banded(a2[0], ql[0], tl[0], 2 * k)
     assert b1 == b2
+
+
+def test_device_traceback_matches_host(rng):
+    """banded_global_traced + blocks_from_ops_row must reproduce the
+    host traceback_banded blocks exactly."""
+    from lra_tpu.ops.affine_kernel import (banded_global_traced,
+                                           blocks_from_ops_row)
+
+    k = 15
+    qs, ts = [], []
+    for i in range(12):
+        n = int(rng.integers(10, 120))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        q = t.copy()
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, len(q)))
+            q[p] = (q[p] + 1) % 4
+        if rng.random() < 0.5 and len(q) > 20:
+            p = int(rng.integers(5, len(q) - 5))
+            q = np.delete(q, slice(p, p + int(rng.integers(1, 4))))
+        if rng.random() < 0.3 and len(q) > 20:
+            p = int(rng.integers(5, len(q) - 5))
+            q = np.insert(q, p, rng.integers(0, 4, 2).astype(np.uint8))
+        qs.append(q)
+        ts.append(t)
+
+    K = 2 * k
+    B = len(qs)
+    S = max(max(len(x) for x in qs), max(len(x) for x in ts))
+    q = np.full((B, S), 4, np.int8)
+    t = np.full((B, S), 4, np.int8)
+    for b, (a, c) in enumerate(zip(qs, ts)):
+        q[b, :len(a)] = a
+        t[b, :len(c)] = c
+    qlen = np.array([len(x) for x in qs], np.int32)
+    tlen = np.array([len(x) for x in ts], np.int32)
+    _, arrows, _, _ = run_device(qs, ts, K)
+    ops = np.asarray(banded_global_traced(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+        jnp.asarray(tlen), K, M, MM, IND))
+    for b in range(B):
+        ref_blocks, _ = traceback_banded(arrows[b], qlen[b], tlen[b], K)
+        got = blocks_from_ops_row(ops[b])
+        assert got == ref_blocks, (b, got, ref_blocks)
