@@ -85,8 +85,15 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
     compiles cost ~10s on the tunneled TPU, cached dispatches ~50ms."""
     import jax.numpy as jnp
 
-    small = [p for p in problems if len(p.qS) < 64 or not use_device]
-    large = [p for p in problems if len(p.qS) >= 64 and use_device]
+    # N == 1 is trivial: the only chain is the fragment itself
+    for p in problems:
+        if len(p.qS) == 1:
+            p.V = p.score.astype(np.float32).copy()
+            p.bp = np.full(1, -1, np.int32)
+            p.lane = np.where(p.lane1, 0, 1).astype(np.int32)
+    rest = [p for p in problems if len(p.qS) > 1]
+    small = rest if not use_device else []
+    large = rest if use_device else []
     for p in small:
         valid = np.ones(len(p.qS), bool)
         p.V, p.bp, p.lane = chain_scores_np(

@@ -166,6 +166,38 @@ def banded_global_traced(q, t, qlen, tlen, K, m, mm, indel, kband=None):
     return _traceback_ops_device(arrows, qlen, tlen, K, L)
 
 
+def blocks_from_ops_batch(ops: np.ndarray):
+    """Vectorized blocks_from_ops_row over the whole bucket.
+
+    ops: int8[B, L] device-traceback planes (end-first, -1 padded).
+    Returns a list of B block lists [(q_off, t_off, len)].
+    """
+    B, L = ops.shape
+    n = (ops >= 0).sum(axis=1)                       # -1s are contiguous
+    # reverse each row's valid prefix into start-first order
+    idx = n[:, None] - 1 - np.arange(L)[None, :]
+    rev = np.where(idx >= 0, ops[np.arange(B)[:, None], np.clip(idx, 0, L - 1)],
+                   -1).astype(np.int8)
+    qstep = ((rev == LEFT) | (rev == DIAG)).astype(np.int64)
+    tstep = ((rev == DOWN) | (rev == DIAG)).astype(np.int64)
+    qoff = np.cumsum(qstep, axis=1) - qstep          # exclusive prefix
+    toff = np.cumsum(tstep, axis=1) - tstep
+    is_diag = rev == DIAG
+    prev_diag = np.concatenate(
+        [np.zeros((B, 1), bool), is_diag[:, :-1]], axis=1)
+    next_diag = np.concatenate(
+        [is_diag[:, 1:], np.zeros((B, 1), bool)], axis=1)
+    sb, sj = np.nonzero(is_diag & ~prev_diag)        # run starts
+    eb, ej = np.nonzero(is_diag & ~next_diag)        # run ends (paired)
+    lens = ej - sj + 1
+    out = [[] for _ in range(B)]
+    qv = qoff[sb, sj]
+    tv = toff[sb, sj]
+    for i in range(len(sb)):
+        out[sb[i]].append((int(qv[i]), int(tv[i]), int(lens[i])))
+    return out
+
+
 def blocks_from_ops_row(row: np.ndarray):
     """One problem's device-traceback ops (end-first, -1 padded) ->
     [(q_off, t_off, len)] match blocks, same semantics as

@@ -15,7 +15,7 @@ import numpy as np
 
 from ..align.affine import affine_one_gap_align
 from ..ops.affine_kernel import (banded_global_np, banded_global_traced,
-                                 blocks_from_ops_row, traceback_banded)
+                                 blocks_from_ops_batch, traceback_banded)
 from ..options import Options
 
 # coarse on purpose: every (K, S) class is a separate device dispatch +
@@ -71,10 +71,16 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
         diag = max(1, min(ql, tl))
         if diag + 2 * k >= max(ql, tl):
             kb = 2 * k   # banded-global regime (device or batched numpy)
-            # K class: narrow (gap closing) vs wide (indel refine)
-            Kc = 2 * opts.local_band if kb <= 2 * opts.local_band else \
-                2 * _pow2_at_least(kb // 2)
-            if Kc <= 512:
+            # K class: narrow (gap closing) vs two wide tiers (indel
+            # refine); coarse so the bucket count — and with it the
+            # number of ~30ms device round trips — stays low
+            if kb <= 2 * opts.local_band:
+                Kc = 2 * opts.local_band
+            elif kb <= 128:
+                Kc = 128
+            else:
+                Kc = 512
+            if kb <= 512:
                 S = _size_bucket(max(ql, tl))
                 device_jobs.setdefault((Kc, S), []).append((job, kb))
                 continue
@@ -122,9 +128,9 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             buf.copy_to_host_async()
     for K, items, qlen, tlen, buf in pending:
         if K is None:
-            ops = np.asarray(buf)
+            blocks = blocks_from_ops_batch(np.asarray(buf))
             for b, (job, kb) in enumerate(items):
-                job.blocks = blocks_from_ops_row(ops[b])
+                job.blocks = blocks[b]
         else:
             for b, (job, kb) in enumerate(items):
                 blocks, _ = traceback_banded(buf[b], qlen[b], tlen[b], K)
