@@ -150,6 +150,53 @@ def score_ops(ops, read=None, chrom=None, blocks=None) -> AlnStats:
     return st
 
 
+_BASES = "ACGTN"
+
+
+def ops_to_md(ops, read: np.ndarray, chrom: np.ndarray, q0: int,
+              t0: int) -> str:
+    """MD:Z tag from an op run list (reference: AlignmentStringsToMD,
+    Alignment.h:204-244): run-length of matches, mismatched ref base,
+    '^'+bases for deletions; insertions don't appear."""
+    md: list = []
+    match = 0
+    q, t = int(q0), int(t0)
+    for op, ln in ops:
+        if op in ("=", "M"):
+            if op == "M":
+                # 'M' may hide mismatches; split by actual equality
+                off = 0
+                for is_m, rl in _runs_eq(read[q:q + ln], chrom[t:t + ln]):
+                    if is_m:
+                        match += rl
+                    else:
+                        for i in range(rl):
+                            md.append(str(match))
+                            match = 0
+                            md.append(_BASES[int(chrom[t + off + i])])
+                    off += rl
+            else:
+                match += ln
+            q += ln
+            t += ln
+        elif op == "X":
+            for i in range(ln):
+                md.append(str(match))
+                match = 0
+                md.append(_BASES[int(chrom[t + i])])
+            q += ln
+            t += ln
+        elif op == "I":
+            q += ln
+        elif op == "D":
+            md.append(str(match))
+            match = 0
+            md.append("^" + "".join(_BASES[int(c)] for c in chrom[t:t + ln]))
+            t += ln
+    md.append(str(match))
+    return "".join(md)
+
+
 def _gap_value(ln: int) -> float:
     if ln <= 20:
         return -float(ln)

@@ -38,6 +38,7 @@ class Segment:
     num_anchors1: int = 0
     order: int = 0
     runtime: int = 0
+    md: str = ""                      # MD:Z tag (when opts.print_md)
 
     @property
     def qStart(self):

@@ -48,7 +48,12 @@ def _parser(align: bool) -> argparse.ArgumentParser:
         p.add_argument("reads")
         p.add_argument("-o", "--out", default="-")
         p.add_argument("-p", "--printformat", default="s",
-                       help="s=SAM p=PAF (reference -p flag)")
+                       help="s=SAM p/pc=PAF a=pairwise b=BED "
+                            "(reference -p flag)")
+        p.add_argument("--printMD", action="store_true",
+                       help="write the MD tag in SAM and PAF output")
+        p.add_argument("--noMismatch", action="store_true",
+                       help="use 'M' CIGAR ops instead of '='/'X'")
         p.add_argument("--batch", type=int, default=64)
         p.add_argument("--cpu", action="store_true",
                        help="host-only kernels (no device)")
@@ -69,13 +74,22 @@ def _parser(align: bool) -> argparse.ArgumentParser:
 
 def cmd_index(argv) -> int:
     opts, rest = _preset_from_args(argv)
-    args = _parser(False).parse_args(rest)
+    parser = _parser(False)
+    parser.add_argument("--CalculateMinimizerStats", action="store_true",
+                        help="report distinct/unique minimizer stats "
+                             "(reference: MMIndex.h:46-67)")
+    args = parser.parse_args(rest)
     genome = Genome.from_fasta(args.ref)
     t0 = time.time()
     gi = build_global_index(genome, opts)
     gi.save(args.ref + ".gdx")
     print(f"global index: {len(gi)} minimizers (k={gi.k}) "
           f"in {time.time()-t0:.1f}s -> {args.ref}.gdx", file=sys.stderr)
+    if args.CalculateMinimizerStats:
+        s = gi.minimizer_stats()
+        print(f"minimizer stats: total={s['total']} distinct={s['distinct']} "
+              f"unique={s['unique']} avg_freq={s['avg_freq']:.3f}",
+              file=sys.stderr)
     t0 = time.time()
     li = build_genome_local_index(genome, k=min(opts.local_k, 10),
                                   w=opts.local_w,
@@ -92,6 +106,8 @@ def cmd_align(argv) -> int:
     args = _parser(True).parse_args(rest)
     opts.print_format = args.printformat
     opts.passthrough_tag = args.passthrough
+    opts.print_md = args.printMD
+    opts.show_mismatch = not args.noMismatch
     if args.cpu:
         import jax
 

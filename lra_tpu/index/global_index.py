@@ -52,6 +52,19 @@ class GlobalIndex:
         z = np.load(path)
         return cls(int(z["k"]), z["tuples"], z["pos"], z["strand"], z["freqs"])
 
+    def minimizer_stats(self) -> dict:
+        """Distinct/unique counts and mean frequency (reference:
+        CalculateMinimizerStats, MMIndex.h:46-67)."""
+        n = len(self.tuples)
+        if n == 0:
+            return {"total": 0, "distinct": 0, "unique": 0, "avg_freq": 0.0}
+        is_new = np.concatenate(([True], self.tuples[1:] != self.tuples[:-1]))
+        distinct = int(is_new.sum())
+        counts = np.diff(np.concatenate((np.nonzero(is_new)[0], [n])))
+        unique = int((counts == 1).sum())
+        return {"total": n, "distinct": distinct, "unique": unique,
+                "avg_freq": float(n / distinct)}
+
 
 def build_global_index(genome: Genome, opts: Options) -> GlobalIndex:
     k, w = opts.global_k, opts.global_w

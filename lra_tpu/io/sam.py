@@ -77,6 +77,8 @@ def sam_record(seg: Segment, name: str, read_fwd: np.ndarray,
         f"LD:i:{st.n_large_del}", f"SI:i:{st.n_small_ins}",
         f"MI:i:{st.n_med_ins}", f"LI:i:{st.n_large_ins}",
     ]
+    if seg.md:
+        fields.append(f"MD:Z:{seg.md}")
     if group is not None and len(group.segments) > 1:
         sa_parts = []
         for ag in range(len(group.segments) - 1, -1, -1):
@@ -120,9 +122,59 @@ def paf_record(seg: Segment, name: str, genome, chrom_len: int,
     ]
     if seg.num_anchors1 > 0:
         fields.append(f"NA:i:{seg.num_anchors1}")
+    if seg.md:
+        fields.append(f"MD:Z:{seg.md}")
     if print_cigar:
         fields.append("CG:z:" + _cigar_with_clips(seg, False))
     return "\t".join(fields)
+
+
+def pairwise_record(seg: Segment, name: str, read: np.ndarray,
+                    chrom_codes: np.ndarray, genome) -> str:
+    """Human-readable pairwise alignment (reference: PrintPairwise,
+    Alignment.h:564-589; printFormat 'a'): 50-column q/align/t triplets
+    with running coordinates; '|' match, '*' mismatch, '-' gap."""
+    from ..align.cigar import blocks_to_ops
+
+    if not seg.blocks:
+        return name + "\n"
+    ops = blocks_to_ops(seg.blocks, read, chrom_codes, True)
+    q0, t0 = seg.blocks[0][0], seg.blocks[0][1]
+    BASES = "ACGTN"
+    qs, als, ts_ = [], [], []
+    q, t = q0, t0
+    for op, ln in ops:
+        if op in ("=", "X", "M"):
+            for i in range(ln):
+                qc, tc = int(read[q + i]), int(chrom_codes[t + i])
+                qs.append(BASES[qc])
+                ts_.append(BASES[tc])
+                als.append("|" if qc == tc else "*")
+            q += ln
+            t += ln
+        elif op == "I":
+            qs.extend(BASES[int(c)] for c in read[q:q + ln])
+            ts_.extend("-" * ln)
+            als.extend(" " * ln)
+            q += ln
+        elif op == "D":
+            qs.extend("-" * ln)
+            ts_.extend(BASES[int(c)] for c in chrom_codes[t:t + ln])
+            als.extend(" " * ln)
+            t += ln
+    out = [name]
+    out.append(f"Interval:\t{genome.names[seg.chrom]}:{t0}-{t}")
+    qpos, tpos = q0, t0
+    for i in range(0, len(qs), 50):
+        qsub = "".join(qs[i:i + 50])
+        tsub = "".join(ts_[i:i + 50])
+        out.append(f"{qpos:>10} q: {qsub}")
+        out.append("              " + "".join(als[i:i + 50]))
+        out.append(f"{tpos:>10} t: {tsub}")
+        out.append("")
+        qpos += len(qsub) - qsub.count("-")
+        tpos += len(tsub) - tsub.count("-")
+    return "\n".join(out)
 
 
 def bed_record(seg: Segment, name: str, genome) -> str:

@@ -7,8 +7,8 @@ import numpy as np
 from .. import seq as sequtils
 from ..index.global_index import GlobalIndex, build_global_index
 from ..io.genome import Genome
-from ..io.sam import (bed_record, paf_record, sam_header, sam_record,
-                      unmapped_record)
+from ..io.sam import (bed_record, paf_record, pairwise_record, sam_header,
+                      sam_record, unmapped_record)
 from ..options import Options
 from .highacc import map_batch
 
@@ -53,6 +53,13 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
                                             opts.print_format == "pc"))
                 elif opts.print_format == "b":
                     lines.append(bed_record(seg, st.name, genome))
+                elif opts.print_format == "a":
+                    starts = genome.starts()
+                    chrom_codes = genome.codes[
+                        starts[seg.chrom]:genome.ends[seg.chrom]]
+                    read = st.rc if seg.strand == 1 else st.codes
+                    lines.append(pairwise_record(seg, st.name, read,
+                                                 chrom_codes, genome))
                 else:
                     line = sam_record(seg, st.name, st.codes, st.rc,
                                       genome, opts, group, s_i, st.qual)

@@ -408,6 +408,10 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
                                     opts.show_mismatch)
                 seg.stats = score_ops(ops)
                 seg.value = seg.stats.value
+                if opts.print_md and seg.blocks:
+                    from ..align.cigar import ops_to_md
+                    seg.md = ops_to_md(ops, read, chrom_codes,
+                                       seg.blocks[0][0], seg.blocks[0][1])
             group.finalize()
         st.groups = order_groups(st.groups)
         set_mapq(st.groups, opts)

@@ -150,3 +150,64 @@ def test_reverse_read_seq_is_rc(world):
     rec = parse_sam(lines[0])
     assert rec["flag"] & 0x10
     assert rec["seq"] == sequtils.decode(sequtils.revcomp(r.codes))
+
+
+def test_md_tag_and_pairwise(world):
+    """MD:Z must round-trip: reconstructing the reference span from
+    SEQ+CIGAR+MD and comparing to the genome; pairwise format renders."""
+    rng, genome, opts, idx = world
+    import copy
+    opts = copy.deepcopy(opts)
+    reads = []
+    for i in range(2):
+        r = sample_read(rng, genome.codes, 3000, snp=0.005, ins=0.002,
+                        dele=0.002)
+        reads.append((f"md{i}", r.codes))
+    opts.print_md = True
+    states, lines = align_reads(reads[:2], genome, idx, opts,
+                                use_device=False)
+    checked = 0
+    for ln in lines:
+        f = ln.split("\t")
+        if f[1] in ("4",):
+            continue
+        md = [x[5:] for x in f if x.startswith("MD:Z:")]
+        assert md, ln[:80]
+        cigar, seq, pos = f[5], f[9], int(f[3]) - 1
+        # reconstruct reference from SEQ + CIGAR + MD
+        qp = 0
+        ref = []
+        for num, op in re.findall(r"(\d+)([=XMIDSH])", cigar):
+            n = int(num)
+            if op in ("=", "X", "M"):
+                ref.append(seq[qp:qp + n])
+                qp += n
+            elif op in ("I", "S"):
+                qp += n
+            elif op == "D":
+                ref.append("?" * n)
+        ref = list("".join(ref))
+        # apply MD corrections
+        i = 0
+        for tok in re.findall(r"(\d+|\^[ACGTN]+|[ACGTN])", md[0]):
+            if tok.isdigit():
+                i += int(tok)
+            elif tok.startswith("^"):
+                for c in tok[1:]:
+                    ref[i] = c
+                    i += 1
+            else:
+                ref[i] = tok
+                i += 1
+        got = "".join(ref)
+        ci = genome.names.index(f[2])
+        start = genome.starts()[ci] + pos
+        want = sequtils.decode(genome.codes[start:start + len(got)])
+        assert got == want
+        checked += 1
+    assert checked >= 2
+
+    opts.print_md = False
+    opts.print_format = "a"
+    _, plines = align_reads(reads[:1], genome, idx, opts, use_device=False)
+    assert " q: " in plines[0] and " t: " in plines[0]
