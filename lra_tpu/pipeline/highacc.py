@@ -80,13 +80,113 @@ class ExtCluster:
     g_end: np.ndarray = None
 
 
-def _make_sdp2_problem(ext_clusters: list, bonus: float):
-    """One SDP-2 problem over the merged groups of all clusters in a
-    chain (reference: SparseDP.h:1766-1953, 2-point per-strand
-    insertion; score = group q-span * second_anchorbonus)."""
+@dataclass
+class SplitChainH:
+    """One typed split of a high-acc chain (reference: SPLITChain,
+    Mapping_ultility.h:266-385): indices into the chain's ExtClusters,
+    boundary type ('N' none, 'T' translocation, 'D' duplication,
+    'I' inversion), and the strand of the first cluster."""
+    idx: list
+    type: str
+    strand: int
+
+
+def _ext_bounds(ec: "ExtCluster"):
+    if len(ec.qpos) == 0:
+        return None
+    qS = int(ec.qpos.min())
+    qE = int((ec.qpos + ec.lengths).max())
+    tS = int(ec.tpos.min())
+    tE = int((ec.tpos + ec.lengths).max())
+    return qS, qE, tS, tE
+
+
+def _split_ext_chain(exts: list, link, opts: Options) -> list:
+    """Split a chain's ExtClusters into typed SplitChainH groups
+    (reference: SPLITChain, Mapping_ultility.h:266-360): break on
+    t-distance > splitdist / chrom change ('T'), repetitive remap with
+    >=0.6 mutual genome overlap ('D'), or strand flip ('I'); then merge
+    TRA-flanked near pieces back (MergeSplitchainINS,
+    Mapping_ultility.h:172-257)."""
+    bounds = [_ext_bounds(e) for e in exts]
+    live = [i for i in range(len(exts)) if bounds[i] is not None]
+    if not live:
+        return []
+    groups: list = []
+    onec = [live[0]]
+    for pos in range(len(live) - 1):
+        prev, cur = live[pos], live[pos + 1]
+        pb, cb = bounds[prev], bounds[cur]
+        lk = bool(link[prev]) if prev < len(link) else False
+        ps, cs = exts[prev].strand, exts[cur].strand
+        # mutual genome-overlap rate (OverlaprateOnGenome)
+        ovp = max(0, min(pb[3], cb[3]) - max(pb[2], cb[2]))
+        rep_map = (((lk and cs == 0 and ps == 0)
+                    or (not lk and cs == 1 and ps == 1))
+                   and ovp / max(1, pb[3] - pb[2]) >= 0.6
+                   and ovp / max(1, cb[3] - cb[2]) >= 0.6)
+        if (cb[2] > pb[3] + opts.split_dist
+                or cb[3] + opts.split_dist < pb[2]
+                or exts[cur].chrom != exts[prev].chrom):
+            groups.append(SplitChainH(onec, "T", ps))
+            onec = [cur]
+        elif rep_map:
+            groups.append(SplitChainH(onec, "D", ps))
+            onec = [cur]
+        elif cs != ps:
+            groups.append(SplitChainH(onec, "I", ps))
+            onec = [cur]
+        else:
+            onec.append(cur)
+    groups.append(SplitChainH(onec, "N", exts[live[-1]].strand))
+
+    # MergeSplitchainINS: rejoin TRA-flanked pieces <=1500bp apart on the
+    # genome (the in-between piece is the inserted sequence)
+    if len(groups) >= 3:
+        def gb(g):
+            bs = [bounds[i] for i in g.idx]
+            return (min(b[0] for b in bs), max(b[1] for b in bs),
+                    min(b[2] for b in bs), max(b[3] for b in bs))
+        keep = [True] * len(groups)
+        im = 0
+        while im <= len(groups) - 3:
+            c = groups[im]
+            if not keep[im] or c.type != "T":
+                im += 1
+                continue
+            merged = False
+            for n in range(im + 2, len(groups)):
+                if not keep[n]:
+                    continue
+                cn = groups[n]
+                cbn, cbc = gb(cn), gb(c)
+                tdist = abs(cbc[2] - cbn[3])
+                if tdist > 1500 or c.strand != cn.strand or \
+                        exts[c.idx[0]].chrom != exts[cn.idx[0]].chrom:
+                    continue
+                c.idx.extend(cn.idx)
+                c.type = cn.type
+                keep[n] = False
+                merged = True
+                im = n
+                break
+            if not merged:
+                im += 1
+        groups = [g for i, g in enumerate(groups) if keep[i]]
+    return groups
+
+
+def _make_sdp2_problem(ext_clusters: list, bonus: float, indices=None):
+    """One SDP-2 problem over the merged groups of the given clusters
+    (reference: SparseDP.h:1766-1953, 2-point per-strand insertion;
+    score = group q-span * second_anchorbonus).  indices: subset of
+    cluster positions to include (a split chain); backref stores the
+    original cluster index."""
     qS, qE, tS, tE, sc, l1, l2 = [], [], [], [], [], [], []
     backref = []   # (cluster_idx_in_chain, group_idx)
-    for ci, ec in enumerate(ext_clusters):
+    pick = range(len(ext_clusters)) if indices is None else indices
+    for ci in pick:
+        ec = ext_clusters[ci]
         if len(ec.qpos) == 0:
             continue
         s, e = ec.g_start, ec.g_end
@@ -241,21 +341,26 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
                 local_clusters[k_] = rc_
             K, W = genome_li.k, genome_li.w
             for ch in chains:
-                ch.ch = [ci for ci in ch.ch if len(local_clusters[ci])]
+                keep_i = [i for i, ci in enumerate(ch.ch)
+                          if len(local_clusters[ci])]
+                ch.ch = [ch.ch[i] for i in keep_i]
+                ch.link = np.array(
+                    [ch.link[i] for i in keep_i[:-1] if i < len(ch.link)],
+                    bool)
 
         for ch in chains:
             chain_cls = [local_clusters[ci] for ci in ch.ch]
+            rev_cls: list = []
             if chain_cls:
-                refine_btwn_clusters_chain(chain_cls, genome, st.codes,
-                                           st.rc, opts, K, W)
-            exts = []
-            for pos, ci in enumerate(ch.ch):
-                local = local_clusters[ci]
+                rev_cls = refine_btwn_clusters_chain(
+                    chain_cls, genome, st.codes, st.rc, opts, K, W) or []
+
+            def extend_one(local, pos=None):
                 chrom = local.chrom
                 chrom_codes = genome.codes[starts[chrom]:genome.ends[chrom]]
                 # overlap points from neighbor clusters (q/t boundaries)
                 pts = []
-                if local.anchorfreq <= 1.1:
+                if pos is not None and local.anchorfreq <= 1.1:
                     for nb in (pos - 1, pos + 1):
                         if 0 <= nb < len(ch.ch):
                             nc = local_clusters[ch.ch[nb]]
@@ -272,13 +377,40 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
                 q, t, ln, ovp = q[keep], t[keep], ln[keep], ovp[keep]
                 gs, ge = merge_same_diag(q, t, ln, ovp, local.strand,
                                          opts.merge_dist)
-                exts.append(ExtCluster(q, t, ln, ovp, local.strand, chrom,
-                                       gs, ge))
-            p, backref = _make_sdp2_problem(exts, opts.second_anchorbonus)
-            st.ext.append((exts, backref))
-            st.sdp2.append(p)
-            if p is not None:
-                sdp2_problems.append(p)
+                return ExtCluster(q, t, ln, ovp, local.strand, chrom,
+                                  gs, ge)
+
+            exts = [extend_one(local_clusters[ci], pos)
+                    for pos, ci in enumerate(ch.ch)]
+            linkv = list(ch.link) + [False] * max(0, len(exts) - 1
+                                                  - len(ch.link))
+            # insert captured inversion clusters by position (chain order
+            # is end-first: descending q)
+            for rc_ in rev_cls:
+                if len(rc_.qpos) == 0:
+                    continue
+                e = extend_one(rc_)
+                if len(e.qpos) == 0:
+                    continue
+                pos = 0
+                eq = int(e.qpos.min())
+                while pos < len(exts) and len(exts[pos].qpos) and \
+                        int(exts[pos].qpos.min()) > eq:
+                    pos += 1
+                exts.insert(pos, e)
+                linkv.insert(min(pos, len(linkv)), False)
+
+            # typed split chains (SPLITChain semantics), one SDP-2 each
+            sgroups = _split_ext_chain(exts, linkv, opts)
+            per_sg = []
+            for sg in sgroups:
+                p, backref = _make_sdp2_problem(
+                    exts, opts.second_anchorbonus, indices=sg.idx)
+                per_sg.append((p, backref, sg))
+                if p is not None:
+                    sdp2_problems.append(p)
+            st.ext.append(exts)
+            st.sdp2.append(per_sg)
 
     if timing:
         timing.tick("refine+extend")
@@ -293,25 +425,25 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
         if st.unaligned:
             continue
         for hi, ch in enumerate(st.chains):
-            p = st.sdp2[hi]
-            exts, backref = st.ext[hi]
-            if p is None:
-                continue
-            frag_chain = best_chain(p)
-            if not frag_chain:
-                continue
-            ac = _expand_chain(frag_chain, backref, exts)
-            if opts.remove_paired_indels:
-                remove_small_paired_indels(ac)
-                remove_paired_indels(ac, opts.refine_end)
-            if opts.remove_spurious_anchors:
-                remove_spurious_anchors(ac)
-            if len(ac) == 0:
-                continue
-            ac.second_sdp_value = float(np.max(p.V))
+            exts = st.ext[hi]
             group = SegGroup()
-            _assemble_segments(st, ch, ac, exts, genome, opts, group,
-                               gap_jobs, si, len(st.groups), gp)
+            for (p, backref, sg) in st.sdp2[hi]:
+                if p is None:
+                    continue
+                frag_chain = best_chain(p)
+                if not frag_chain:
+                    continue
+                ac = _expand_chain(frag_chain, backref, exts)
+                if opts.remove_paired_indels:
+                    remove_small_paired_indels(ac)
+                    remove_paired_indels(ac, opts.refine_end)
+                if opts.remove_spurious_anchors:
+                    remove_spurious_anchors(ac)
+                if len(ac) == 0:
+                    continue
+                ac.second_sdp_value = float(np.max(p.V))
+                _assemble_segments(st, ch, ac, exts, genome, opts, group,
+                                   gap_jobs, si, len(st.groups), gp)
             if group.segments:
                 st.groups.append(group)
 
@@ -412,6 +544,22 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
                     from ..align.cigar import ops_to_md
                     seg.md = ops_to_md(ops, read, chrom_codes,
                                        seg.blocks[0][0], seg.blocks[0][1])
+            # inversion typing: +,-,+ / -,+,- strand patterns with
+            # t-proximity and length gates (reference:
+            # LocalRefineAlignment.h:739-765)
+            segs = group.segments
+            for js in range(2, len(segs)):
+                a, b, c = segs[js - 2], segs[js - 1], segs[js]
+                if (a.strand, b.strand, c.strand) not in \
+                        ((0, 1, 0), (1, 0, 1)):
+                    continue
+                if b.tStart > a.tEnd + 10000 or c.tStart > b.tEnd + 10000:
+                    continue
+                if c.stats.nm < 500 or b.stats.nm < 500 or \
+                        a.stats.nm < 40 or a.stats.nm > 15000:
+                    continue
+                if a.typeofaln != 3:
+                    b.typeofaln = 3
             group.finalize()
         st.groups = order_groups(st.groups)
         set_mapq(st.groups, opts)
@@ -438,7 +586,7 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
             seg_bounds.append(i)
     seg_bounds.append(n)
 
-    zi = 0
+    zi = len(group.segments)    # continue numbering across split chains
     for bi in range(len(seg_bounds) - 1):
         lo, hi_ = seg_bounds[bi], seg_bounds[bi + 1]
         strand = int(ac.strand[lo])
@@ -458,7 +606,7 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
         seg.num_anchors1 = hi_ - lo
         seg.first_sdp_value = ch.value
         seg.second_sdp_value = ac.second_sdp_value
-        seg.is_supplementary = bi > 0
+        seg.is_supplementary = bi > 0 or len(group.segments) > 0
         read = st.rc if strand == 1 else st.codes
         prev_q_end = prev_t_end = None
         for i in range(len(q)):
@@ -484,11 +632,27 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                     # big gap: reseed + forward-only 3rd SDP
                     # (reference: LocalRefineAlignment.h:236-390)
                     from .big_gap import close_big_gap
-                    mids, _inv = close_big_gap(
+                    mids, inv = close_big_gap(
                         read, chrom_codes, opts, gp,
                         prev_q_end, bq, prev_t_end, bt,
                         seg.blocks[-1][2], bl,
                         rc_strand=(st.codes if strand == 1 else st.rc))
+                    if inv and seg.blocks:
+                        # in-gap inversion: break the alignment and open
+                        # a supplementary segment (reference:
+                        # LocalRefineAlignment.h:292-352 breakalignment)
+                        group.segments.append(seg)
+                        zi += 1
+                        seg = Segment([], strand, chrom, read_len)
+                        seg.num_anchors0 = ch.num_anchors
+                        seg.num_anchors1 = hi_ - lo
+                        seg.first_sdp_value = ch.value
+                        seg.second_sdp_value = ac.second_sdp_value
+                        seg.is_supplementary = True
+                        seg.blocks.append((bq, bt, bl))
+                        prev_q_end = bq + bl
+                        prev_t_end = bt + bl
+                        continue
                     for (mq, mt, ml) in mids:
                         if mq < prev_q_end or mt < prev_t_end:
                             continue

@@ -255,7 +255,7 @@ def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
     low_b = 1000 if opts.read_type == ReadType.CONTIG else 20
     upper = 100000 if opts.read_type == ReadType.CONTIG else 50000
     starts = genome.starts()
-    rev_clusters: list = []   # captured inversions (wired in later round)
+    rev_clusters: list = []   # captured inversion clusters (returned)
     for c in range(1, len(chain_clusters)):
         cur = chain_clusters[c]
         prev = chain_clusters[c - 1]
@@ -310,3 +310,4 @@ def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
         if 20 <= span <= upper:
             refine_btwn_space(cc, genome, chrom_codes, read_codes, read_rc,
                               opts, K, W, qs, qe, ts, te, True, rev_clusters)
+    return rev_clusters

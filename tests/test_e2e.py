@@ -211,3 +211,42 @@ def test_md_tag_and_pairwise(world):
     opts.print_format = "a"
     _, plines = align_reads(reads[:1], genome, idx, opts, use_device=False)
     assert " q: " in plines[0] and " t: " in plines[0]
+
+
+def test_inversion_split(world):
+    """A read with an inverted middle must yield split segments with the
+    middle on the opposite strand (inversion-aware chaining + SPLITChain;
+    reference headline feature)."""
+    rng, g, opts, idx = world
+    start = 20000
+    span = np.array(g.codes[start:start + 6000])
+    mid = sequtils.revcomp(span[2500:4000])
+    read = np.concatenate([span[:2500], mid, span[4000:]])
+    states, lines = align_reads([("inv1", read)], g, idx, opts,
+                                use_device=False)
+    assert not states[0].unaligned
+    segs = states[0].groups[0].segments
+    strands = sorted(set(s.strand for s in segs))
+    assert len(segs) >= 2, [s.blocks[:2] for s in segs]
+    assert strands == [0, 1], strands
+    # middle inversion typed I when length gates pass (nm >= 500)
+    tps = [ln.split("TP:A:")[1][0] for ln in lines if "TP:A:" in ln]
+    assert "I" in tps, (tps, lines)
+
+
+def test_translocation_split(world):
+    """A chimeric read (chr1 + chr2) must split into segments on both
+    chromosomes (SPLITChain 'T' boundary)."""
+    rng, g, opts, idx = world
+    c2_start = int(g.starts()[1])
+    part1 = np.array(g.codes[30000:33000])
+    part2 = np.array(g.codes[c2_start + 40000:c2_start + 43000])
+    read = np.concatenate([part1, part2])
+    states, lines = align_reads([("tra1", read)], g, idx, opts,
+                                use_device=False)
+    assert not states[0].unaligned
+    chroms = set()
+    for group in states[0].groups:
+        for s in group.segments:
+            chroms.add(s.chrom)
+    assert chroms == {0, 1}, chroms
