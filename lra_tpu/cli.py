@@ -69,10 +69,47 @@ def _parser(align: bool) -> argparse.ArgumentParser:
                             "reference lra.cpp:227-234)")
         p.add_argument("--stride", type=int, default=1,
                        help="read index stride (multi-job sharding)")
+        p.add_argument("-t", "--threads", type=int, default=1,
+                       help="accepted for reference compatibility; "
+                            "parallelism comes from device batching")
+        p.add_argument("-N", "--PrintNumAln", type=int, default=None,
+                       help="max alignments to report per read")
+        p.add_argument("--refineBreakpoints", action="store_true",
+                       help="toggle breakpoint refinement (note the "
+                            "reference's inverted default, "
+                            "Map_highacc.h:723)")
+        p.add_argument("-x", "--opt", action="append", default=[],
+                       metavar="KEY=VALUE",
+                       help="override any Options field by name "
+                            "(the reference's ~120 tuning knobs, "
+                            "Options.h:8-241)")
     return p
 
 
-def cmd_index(argv) -> int:
+def _apply_overrides(opts: Options, args) -> None:
+    if getattr(args, "PrintNumAln", None) is not None:
+        opts.print_num_aln = args.PrintNumAln
+    if getattr(args, "refineBreakpoints", False):
+        opts.refine_breakpoint = True
+    # type coercion uses the field's current value, not annotations
+    for kv in getattr(args, "opt", []):
+        key, _, val = kv.partition("=")
+        if not hasattr(opts, key):
+            raise SystemExit(f"unknown option {key!r}")
+        cur = getattr(opts, key)
+        if isinstance(cur, bool):
+            setattr(opts, key, val.lower() in ("1", "true", "yes"))
+        elif isinstance(cur, int):
+            setattr(opts, key, int(val))
+        elif isinstance(cur, float):
+            setattr(opts, key, float(val))
+        else:
+            setattr(opts, key, val)
+
+
+def cmd_index(argv, which: str = "index") -> int:
+    """which: 'index' builds both, 'global'/'local' one tier only
+    (reference subcommands, lra.cpp:1029-1068)."""
     opts, rest = _preset_from_args(argv)
     parser = _parser(False)
     parser.add_argument("--CalculateMinimizerStats", action="store_true",
@@ -80,24 +117,26 @@ def cmd_index(argv) -> int:
                              "(reference: MMIndex.h:46-67)")
     args = parser.parse_args(rest)
     genome = Genome.from_fasta(args.ref)
-    t0 = time.time()
-    gi = build_global_index(genome, opts)
-    gi.save(args.ref + ".gdx")
-    print(f"global index: {len(gi)} minimizers (k={gi.k}) "
-          f"in {time.time()-t0:.1f}s -> {args.ref}.gdx", file=sys.stderr)
-    if args.CalculateMinimizerStats:
-        s = gi.minimizer_stats()
-        print(f"minimizer stats: total={s['total']} distinct={s['distinct']} "
-              f"unique={s['unique']} avg_freq={s['avg_freq']:.3f}",
-              file=sys.stderr)
-    t0 = time.time()
-    li = build_genome_local_index(genome, k=min(opts.local_k, 10),
-                                  w=opts.local_w,
-                                  window=opts.local_index_window,
-                                  max_freq=opts.local_max_freq)
-    li.save(args.ref + ".ldx")
-    print(f"local index: {len(li.tuples)} minimizers in {time.time()-t0:.1f}s "
-          f"-> {args.ref}.ldx", file=sys.stderr)
+    if which in ("index", "global"):
+        t0 = time.time()
+        gi = build_global_index(genome, opts)
+        gi.save(args.ref + ".gdx")
+        print(f"global index: {len(gi)} minimizers (k={gi.k}) "
+              f"in {time.time()-t0:.1f}s -> {args.ref}.gdx", file=sys.stderr)
+        if args.CalculateMinimizerStats:
+            s = gi.minimizer_stats()
+            print(f"minimizer stats: total={s['total']} "
+                  f"distinct={s['distinct']} unique={s['unique']} "
+                  f"avg_freq={s['avg_freq']:.3f}", file=sys.stderr)
+    if which in ("index", "local"):
+        t0 = time.time()
+        li = build_genome_local_index(genome, k=min(opts.local_k, 10),
+                                      w=opts.local_w,
+                                      window=opts.local_index_window,
+                                      max_freq=opts.local_max_freq)
+        li.save(args.ref + ".ldx")
+        print(f"local index: {len(li.tuples)} minimizers in "
+              f"{time.time()-t0:.1f}s -> {args.ref}.ldx", file=sys.stderr)
     return 0
 
 
@@ -108,6 +147,7 @@ def cmd_align(argv) -> int:
     opts.passthrough_tag = args.passthrough
     opts.print_md = args.printMD
     opts.show_mismatch = not args.noMismatch
+    _apply_overrides(opts, args)
     if args.cpu:
         import jax
 
@@ -254,16 +294,66 @@ def cmd_callsv(argv) -> int:
     return 0
 
 
+def cmd_qti(argv) -> int:
+    """Query-time benchmark harness (reference: QueryTime.cpp / the `qti`
+    binary, Makefile:95-96): index + map with a per-stage timing report
+    and a reads/s summary on stderr."""
+    import io as _io
+
+    from .pipeline import align_reads
+    from .utils.timing import Timing
+
+    opts, rest = _preset_from_args(argv)
+    args = _parser(True).parse_args(rest)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    enable_compile_cache()
+    genome = Genome.from_fasta(args.ref)
+    t0 = time.time()
+    gi = build_global_index(genome, opts)
+    t_index = time.time() - t0
+    li = build_genome_local_index(genome, k=min(opts.local_k, 10),
+                                  w=opts.local_w,
+                                  window=opts.local_index_window,
+                                  max_freq=opts.local_max_freq)
+    tm = Timing()
+    n = 0
+    t0 = time.time()
+    batch = []
+    for rec in read_seqs(args.reads):
+        batch.append((rec.name, rec.seq, rec.qual))
+        if len(batch) >= args.batch:
+            align_reads(batch, genome, gi, opts, use_device=not args.cpu,
+                        genome_li=li, timing=tm)
+            n += len(batch)
+            batch = []
+    if batch:
+        align_reads(batch, genome, gi, opts, use_device=not args.cpu,
+                    genome_li=li, timing=tm)
+        n += len(batch)
+    dt = time.time() - t0
+    buf = _io.StringIO()
+    tm.write(buf)
+    print(buf.getvalue(), file=sys.stderr)
+    print(f"qti: index {t_index:.2f}s; mapped {n} reads in {dt:.2f}s "
+          f"({n/max(dt,1e-9):.1f} reads/s)", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
-    if cmd == "index" or cmd == "global" or cmd == "local":
-        return cmd_index(rest)
+    if cmd in ("index", "global", "local"):
+        return cmd_index(rest, which=cmd)
     if cmd == "align":
         return cmd_align(rest)
+    if cmd == "qti":
+        return cmd_qti(rest)
     if cmd == "simulate":
         return cmd_simulate(rest)
     if cmd == "callsv":
