@@ -46,6 +46,28 @@ class AlnResult:
     ops: list = field(default_factory=list)
 
 
+def fast_one_gap_align(q: np.ndarray, t: np.ndarray, m: int, mm: int,
+                       indel: int, k: int) -> AlnResult:
+    """Drop-in for affine_one_gap_align that takes the row-vectorized
+    banded-global path when the band covers the drift (the common case;
+    blocks identical — see tests/test_affine_kernel.py), falling back to
+    the per-cell one-gap DP otherwise."""
+    qLen, tLen = len(q), len(t)
+    diag = max(1, min(qLen, tLen))
+    kk = min(diag, k)
+    if qLen and tLen and diag + 2 * kk >= max(qLen, tLen):
+        from ..ops.affine_kernel import banded_global_np, traceback_banded
+
+        K = 2 * kk
+        score, arrows = banded_global_np(
+            q.reshape(1, -1).astype(np.int8), t.reshape(1, -1).astype(np.int8),
+            np.array([qLen], np.int32), np.array([tLen], np.int32),
+            K, m, mm, indel, np.array([K], np.int32))
+        blocks, ops = traceback_banded(arrows[0], qLen, tLen, K)
+        return AlnResult(int(score[0]), blocks, ops)
+    return affine_one_gap_align(q, t, m, mm, indel, k)
+
+
 def affine_one_gap_align(q: np.ndarray, t: np.ndarray, m: int, mm: int,
                          indel: int, k: int) -> AlnResult:
     """q, t: uint8 code arrays (0..3, 4=N). Returns blocks + score."""

@@ -56,17 +56,17 @@ def split_rough_clusters(qpos, tpos, run_slices, run_freqs, opts: Options,
         if freq >= 10.0:
             out.append((idx, freq, coarse_id))
             continue
-        pieces = []
-        cs = 0
-        for m in range(1, len(idx)):
-            gap = _min_gap(qpos[idx[m]], tpos[idx[m]],
-                           qpos[idx[m - 1]], tpos[idx[m - 1]])
-            if gap > opts.rough_cluster_max_gap:
-                if m - cs >= opts.min_cluster_size:
-                    pieces.append((cs, m))
-                cs = m
-        if len(idx) - cs >= opts.min_cluster_size:
-            pieces.append((cs, len(idx)))
+        # vectorized min-gap split (the per-pair Python loop dominated
+        # the anchors+clusters stage)
+        qi = qpos[idx].astype(np.int64)
+        ti = tpos[idx].astype(np.int64)
+        gaps = np.minimum(np.abs(np.diff(qi)), np.abs(np.diff(ti)))
+        bounds = np.concatenate(
+            ([0], np.nonzero(gaps > opts.rough_cluster_max_gap)[0] + 1,
+             [len(idx)]))
+        pieces = [(int(bounds[i]), int(bounds[i + 1]))
+                  for i in range(len(bounds) - 1)
+                  if bounds[i + 1] - bounds[i] >= opts.min_cluster_size]
         # re-merge near-diagonal neighbors (reference: CloseToPreviousCluster)
         merged = []
         for (a, b) in pieces:

@@ -190,11 +190,14 @@ def blocks_from_ops_batch(ops: np.ndarray):
     sb, sj = np.nonzero(is_diag & ~prev_diag)        # run starts
     eb, ej = np.nonzero(is_diag & ~next_diag)        # run ends (paired)
     lens = ej - sj + 1
-    out = [[] for _ in range(B)]
-    qv = qoff[sb, sj]
-    tv = toff[sb, sj]
-    for i in range(len(sb)):
-        out[sb[i]].append((int(qv[i]), int(tv[i]), int(lens[i])))
+    rows = np.stack([qoff[sb, sj], toff[sb, sj], lens], axis=1).tolist()
+    # nonzero is row-major: split the run list at row boundaries
+    cuts = np.searchsorted(sb, np.arange(1, B))
+    out = []
+    prev = 0
+    for c in list(cuts) + [len(rows)]:
+        out.append([tuple(r) for r in rows[prev:c]])
+        prev = c
     return out
 
 

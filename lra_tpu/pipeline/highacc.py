@@ -293,6 +293,7 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
 
     # ---- host: chains -> extension -> SDP-2 problems ----
     sdp2_problems = []
+    box_tasks: list = []     # deferred refine boxes, whole batch
     K = index.k
     starts = genome.starts()
     for st in states:
@@ -348,12 +349,29 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
                     [ch.link[i] for i in keep_i[:-1] if i < len(ch.link)],
                     bool)
 
+        # phase A: enumerate the refine boxes of every chain; the small
+        # boxes of the whole batch align in one device round below.
+        # rev_cls is the list the enqueued tasks write inversion clusters
+        # into when solve_box_tasks finishes them.
+        st._refine_ctx = []
         for ch in chains:
             chain_cls = [local_clusters[ci] for ci in ch.ch]
             rev_cls: list = []
             if chain_cls:
                 rev_cls = refine_btwn_clusters_chain(
-                    chain_cls, genome, st.codes, st.rc, opts, K, W) or []
+                    chain_cls, genome, st.codes, st.rc, opts, K, W,
+                    box_tasks=box_tasks) or []
+            st._refine_ctx.append((ch, local_clusters, rev_cls, K))
+
+    # ---- device: batched refine-box alignment ----
+    from .refine import solve_box_tasks
+    solve_box_tasks(box_tasks, opts, use_device)
+
+    # phase B: harvest done inside solve_box_tasks; extend + split + SDP-2
+    for st in states:
+        if st.unaligned or not getattr(st, "_refine_ctx", None):
+            continue
+        for (ch, local_clusters, rev_cls, K) in st._refine_ctx:
 
             def extend_one(local, pos=None):
                 chrom = local.chrom

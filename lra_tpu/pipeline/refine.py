@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..align.affine import affine_one_gap_align
+from ..align.affine import fast_one_gap_align
 from ..anchors import match_minimizer_lists
 from ..cluster.types import Cluster
 from ..index.local_index import LocalIndex, build_local_index
@@ -132,6 +132,28 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
     return refined
 
 
+def _harvest_blocks(blocks, qseq, tseq, K: int):
+    """Match blocks of a box alignment -> k-mer seed positions + identity
+    (the seed-harvest of RefineSpace's small-box branch,
+    ClusterRefine.h:252-290).  Returns (qpos, tpos, identity), box-local."""
+    got_q, got_t = [], []
+    nmatch = 0
+    for (bq, bt, ln) in blocks:
+        nmatch += int((qseq[bq:bq + ln] == tseq[bt:bt + ln]).sum())
+        if ln > K:
+            bp = 0
+            while bp + K < ln:
+                if (qseq[bq + bp:bq + bp + K]
+                        == tseq[bt + bp:bt + bp + K]).all():
+                    got_q.append(bq + bp)
+                    got_t.append(bt + bp)
+                bp += K
+    denom = min(len(qseq), len(tseq))
+    identity = nmatch / denom if denom else 0.0
+    return (np.asarray(got_q, np.int64), np.asarray(got_t, np.int64),
+            identity)
+
+
 def refine_space(K: int, W: int, diag_band: int, genome, chrom_codes,
                  read_strand_codes: np.ndarray, opts: Options,
                  qs: int, qe: int, ts: int, te: int):
@@ -142,25 +164,10 @@ def refine_space(K: int, W: int, diag_band: int, genome, chrom_codes,
     tseq = chrom_codes[ts:te]
     identity = -1.0
     if len(qseq) < 1000 and len(tseq) < 1000:
-        res = affine_one_gap_align(qseq, tseq, opts.local_match,
-                                   opts.local_mismatch, opts.local_indel, 30)
-        got_q, got_t = [], []
-        nmatch = 0
-        for (bq, bt, ln) in res.blocks:
-            nmatch += int((qseq[bq:bq + ln] == tseq[bt:bt + ln]).sum())
-            if ln > K:
-                bp = 0
-                while bp + K < ln:
-                    if (qseq[bq + bp:bq + bp + K]
-                            == tseq[bt + bp:bt + bp + K]).all():
-                        got_q.append(bq + bp)
-                        got_t.append(bt + bp)
-                    bp += K
-        denom = min(len(qseq), len(tseq))
-        identity = nmatch / denom if denom else 0.0
-        qpos = np.asarray(got_q, np.int64) + qs
-        tpos = np.asarray(got_t, np.int64) + ts
-        return qpos, tpos, identity
+        res = fast_one_gap_align(qseq, tseq, opts.local_match,
+                                 opts.local_mismatch, opts.local_indel, 30)
+        qpos, tpos, identity = _harvest_blocks(res.blocks, qseq, tseq, K)
+        return qpos + qs, tpos + ts, identity
     # large box: non-canonical minimizer reseed with diagonal band
     diag2 = (te - ts) - (qe - qs)
     min_dn = min(0, diag2) - diag_band
@@ -184,6 +191,105 @@ def _space_diag(opts: Options, span: int) -> int:
     if opts.read_type in (ReadType.CONTIG, ReadType.CCS):
         return min(int(max(100.0, 0.01 * span)), 100)
     return min(int(max(100.0, 0.15 * span)), 1000)
+
+
+class BoxTask:
+    """A deferred RefineBtwnSpace box: geometry captured up front so all
+    small-box alignments of a read batch go to the device in one round
+    (the reference aligns each box inline on the CPU; on the tunneled TPU
+    batching them is the difference between 162 host DPs and 2-3 device
+    dispatches per batch)."""
+
+    __slots__ = ("cluster", "chrom_codes", "read_codes", "read_rc", "K",
+                 "W", "qs", "qe", "ts", "te", "two_blocks", "rev_out",
+                 "job")
+
+    def __init__(self, cluster, chrom_codes, read_codes, read_rc, K, W,
+                 qs, qe, ts, te, two_blocks, rev_out):
+        self.cluster = cluster
+        self.chrom_codes = chrom_codes
+        self.read_codes = read_codes
+        self.read_rc = read_rc
+        self.K = K
+        self.W = W
+        self.qs = qs
+        self.qe = qe
+        self.ts = ts
+        self.te = te
+        self.two_blocks = two_blocks
+        self.rev_out = rev_out
+        self.job = None
+
+
+def enqueue_btwn_box(tasks: list, cluster: Cluster, chrom_codes,
+                     read_codes, read_rc, K: int, W: int,
+                     qs: int, qe: int, ts: int, te: int,
+                     two_blocks: bool, rev_out: list) -> None:
+    """Deferred refine_btwn_space: capture the box (q flipped to the
+    cluster's strand frame, as refine_btwn_space does inline)."""
+    read_len = len(read_codes)
+    if cluster.strand == 1:
+        qs, qe = read_len - qe, read_len - qs
+    tasks.append(BoxTask(cluster, chrom_codes, read_codes, read_rc, K, W,
+                         qs, qe, ts, te, two_blocks, rev_out))
+
+
+def solve_box_tasks(tasks: list, opts: Options,
+                    use_device: bool = True) -> None:
+    """Align all small boxes in one batched device round, then finish
+    each task (seed harvest, sparsity check, reverse-strand retry,
+    cluster append) with refine_btwn_space semantics."""
+    from .gap_align import GapJob, solve_gap_jobs
+
+    jobs = []
+    for tk in tasks:
+        strand_seq = (tk.read_codes, tk.read_rc)[tk.cluster.strand]
+        qseq = strand_seq[tk.qs:tk.qe]
+        tseq = tk.chrom_codes[tk.ts:tk.te]
+        if 0 < len(qseq) < 1000 and 0 < len(tseq) < 1000:
+            tk.job = GapJob(np.ascontiguousarray(qseq),
+                            np.ascontiguousarray(tseq), key=None, band=30)
+            jobs.append(tk.job)
+    solve_gap_jobs(jobs, opts, use_device)
+    for tk in tasks:
+        _finish_box_task(tk, opts)
+
+
+def _finish_box_task(tk: BoxTask, opts: Options) -> None:
+    read_len = len(tk.read_codes)
+    st = tk.cluster.strand
+    strands = [tk.read_codes, tk.read_rc]
+    band = _space_diag(opts, tk.qe - tk.qs)
+    if tk.job is not None:
+        qseq = strands[st][tk.qs:tk.qe]
+        tseq = tk.chrom_codes[tk.ts:tk.te]
+        qp, tp, _ = _harvest_blocks(tk.job.blocks or [], qseq, tseq, tk.K)
+        qp = qp + tk.qs
+        tp = tp + tk.ts
+    else:
+        qp, tp, _ = refine_space(tk.K, tk.W, band, None, tk.chrom_codes,
+                                 strands[st], opts, tk.qs, tk.qe, tk.ts,
+                                 tk.te)
+    eff = len(qp) / max(1, min(tk.qe - tk.qs, tk.te - tk.ts))
+    if len(qp) and (tk.two_blocks or eff >= opts.anchors_too_sparse * 2):
+        _append_matches(tk.cluster, qp, tp, st, read_len, tk.K)
+        return
+    if tk.two_blocks:
+        return
+    # try the reverse strand (inversion capture)
+    rst = 1 - st
+    qs2, qe2 = read_len - tk.qe, read_len - tk.qs
+    qp2, tp2, _ = refine_space(tk.K, tk.W, band, None, tk.chrom_codes,
+                               strands[rst], opts, qs2, qe2, tk.ts, tk.te)
+    reff = len(qp2) / max(1, min(qe2 - qs2, tk.te - tk.ts))
+    if eff >= reff:
+        if len(qp):
+            _append_matches(tk.cluster, qp, tp, st, read_len, tk.K)
+        return
+    rc = Cluster(np.zeros(0, np.int64), np.zeros(0, np.int64), rst, tk.K,
+                 1.0, tk.cluster.chrom)
+    _append_matches(rc, qp2, tp2, rst, read_len, tk.K)
+    tk.rev_out.append(rc)
 
 
 def refine_btwn_space(cluster: Cluster, genome, chrom_codes, read_codes,
@@ -245,8 +351,8 @@ def _append_matches(cluster: Cluster, qp, tp, st, read_len, K):
 
 
 def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
-                               read_rc, opts: Options, K: int, W: int
-                               ) -> None:
+                               read_rc, opts: Options, K: int, W: int,
+                               box_tasks: list | None = None) -> list:
     """Reseed gaps between adjacent chain clusters and the two read ends
     (reference: RefineBtwnClusters_chain, ClusterRefine.h:434-615).
     chain_clusters: clusters in chain order (end-first: descending q),
@@ -276,9 +382,14 @@ def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
                 continue
             span = max(qe - qs, te1 - ts1)
             if low_b <= span <= upper:
-                refine_btwn_space(cur, genome, chrom_codes, read_codes,
-                                  read_rc, opts, K, W, qs, qe, ts1, te1,
-                                  False, rev_clusters)
+                if box_tasks is not None:
+                    enqueue_btwn_box(box_tasks, cur, chrom_codes,
+                                     read_codes, read_rc, K, W, qs, qe,
+                                     ts1, te1, False, rev_clusters)
+                else:
+                    refine_btwn_space(cur, genome, chrom_codes, read_codes,
+                                      read_rc, opts, K, W, qs, qe, ts1, te1,
+                                      False, rev_clusters)
         # strand-discordant neighbor spaces (two_blocks) deferred with
         # inversion insertion machinery
     # read-end spaces (reference: ClusterRefine.h:560-615)
@@ -308,6 +419,12 @@ def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
             continue
         span = max(qe - qs, te - ts)
         if 20 <= span <= upper:
-            refine_btwn_space(cc, genome, chrom_codes, read_codes, read_rc,
-                              opts, K, W, qs, qe, ts, te, True, rev_clusters)
+            if box_tasks is not None:
+                enqueue_btwn_box(box_tasks, cc, chrom_codes, read_codes,
+                                 read_rc, K, W, qs, qe, ts, te, True,
+                                 rev_clusters)
+            else:
+                refine_btwn_space(cc, genome, chrom_codes, read_codes,
+                                  read_rc, opts, K, W, qs, qe, ts, te, True,
+                                  rev_clusters)
     return rev_clusters
