@@ -99,13 +99,15 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
         p.V, p.bp, p.lane = chain_scores_np(
             p.qS, p.qE, p.tS, p.tE, p.score, p.lane1, p.lane2, valid, gp)
 
+    from ..parallel.mesh import batch_multiple, place
+
     by_bucket: dict = {}
     for p in large:
         by_bucket.setdefault(_bucket(len(p.qS)), []).append(p)
     key = gp.static_key()
     pending = []
     for N, plist in by_bucket.items():
-        B = _pow2(len(plist), 8)
+        B = batch_multiple(_pow2(len(plist), 8))
         def pad(attr, dtype, fill=0):
             out = np.full((B, N), fill, dtype)
             for b, p in enumerate(plist):
@@ -124,9 +126,8 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
             valid[b, :len(p.qS)] = True
         # async dispatch across all buckets before any download
         packed = _chain_packed(
-            jnp.asarray(qS), jnp.asarray(qE), jnp.asarray(tS),
-            jnp.asarray(tE), jnp.asarray(sc), jnp.asarray(l1),
-            jnp.asarray(l2), jnp.asarray(valid), key)
+            place(qS), place(qE), place(tS), place(tE), place(sc),
+            place(l1), place(l2), place(valid), key)
         pending.append((plist, packed))
     for _, packed in pending:
         packed.copy_to_host_async()

@@ -131,7 +131,8 @@ def _traceback_ops_device(arrows, qlen, tlen, K, L):
     has a ~28ms latency floor and ~12MB/s bandwidth, this is the
     difference between ~0.1MB and ~4MB per bucket."""
     T1, B, band = arrows.shape
-    flat = arrows.reshape(-1)
+    # [B, T1, band] so the gather below stays sharded on the batch axis
+    arr_b = jnp.transpose(arrows, (1, 0, 2))
     barange = jnp.arange(B, dtype=jnp.int32)
 
     def step(state, _):
@@ -140,7 +141,7 @@ def _traceback_ops_device(arrows, qlen, tlen, K, L):
         ok = active & (i >= 0) & (j >= 0) & (d >= 0) & (d < band)
         jc = jnp.clip(j, 0, T1 - 1)
         dc = jnp.clip(d, 0, band - 1)
-        a = flat[(jc * B + barange) * band + dc]
+        a = arr_b[barange, jc, dc]
         a = jnp.where(ok & (a != DONE), a, jnp.int8(-1))
         active2 = a >= 0
         di = jnp.where((a == DIAG) | (a == LEFT), 1, 0)

@@ -34,6 +34,54 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("dp",))
 
 
+# ---- active mesh: the pipeline's kernel drivers consult this ----
+_ACTIVE: list = [None]
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE[0]
+
+
+class use_mesh:
+    """Context manager: run the alignment pipeline with every batched
+    kernel's problem axis sharded data-parallel over the mesh.  The
+    genome/index stay replicated (host memory); only [B, ...] kernel
+    batches are device_put with a 'dp' NamedSharding.
+
+        with use_mesh(make_mesh()):
+            align_reads(reads, genome, idx, opts)
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _ACTIVE[0] = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _ACTIVE[0] = None
+        return False
+
+
+def batch_multiple(b: int) -> int:
+    """Round a batch size up so the 'dp' axis divides it."""
+    mesh = _ACTIVE[0]
+    if mesh is None:
+        return b
+    n = mesh.devices.size
+    return ((b + n - 1) // n) * n
+
+
+def place(a):
+    """jnp.asarray, sharded over 'dp' on axis 0 when a mesh is active."""
+    mesh = _ACTIVE[0]
+    if mesh is None:
+        return jnp.asarray(a)
+    spec = P("dp", *([None] * (np.ndim(a) - 1)))
+    return jax.device_put(a, NamedSharding(mesh, spec))
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Place [B, ...] arrays with the batch axis sharded over 'dp'."""
     out = []

@@ -89,12 +89,15 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
                                    band_in)
         job.blocks = res.blocks
 
+    from ..parallel.mesh import batch_multiple, place
+
     pending = []
     for (K, S), items in device_jobs.items():
         if use_device:
             B = 8
             while B < len(items):
                 B *= 2
+            B = batch_multiple(B)
         else:
             B = len(items)
         q = np.full((B, S), 4, np.int8)
@@ -112,9 +115,9 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             # async dispatch: traceback runs on device; only the compact
             # [B, 2S] op plane comes back
             ops = banded_global_traced(
-                jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
-                jnp.asarray(tlen), K, opts.local_match, opts.local_mismatch,
-                opts.local_indel, kband=jnp.asarray(kband))
+                place(q), place(t), place(qlen), place(tlen), K,
+                opts.local_match, opts.local_mismatch, opts.local_indel,
+                kband=place(kband))
             pending.append((None, items, qlen, tlen, ops))
         else:
             _score, arrows = banded_global_np(
