@@ -70,41 +70,72 @@ def _runs_eq(a: np.ndarray, b: np.ndarray):
 def blocks_to_ops(blocks, read: np.ndarray, chrom: np.ndarray,
                   show_mismatch: bool = True):
     """blocks: [(q, t, len)] ascending, q in strand frame.
-    Returns merged op run list [(op_char, len)]."""
+    Returns merged op run list [(op_char, len)].
+
+    Vectorized: all aligned spans (blocks + inter-block commonGap spans,
+    Alignment.h:292-330) are compared in one gather, runs found with one
+    diff, and only the short run list is assembled in Python."""
+    nb = len(blocks)
+    if nb == 0:
+        return []
+    q = np.fromiter((b[0] for b in blocks), np.int64, nb)
+    t = np.fromiter((b[1] for b in blocks), np.int64, nb)
+    ln = np.fromiter((b[2] for b in blocks), np.int64, nb)
+    q_end = q + ln
+    t_end = t + ln
+    qgap = q[1:] - q_end[:-1]
+    tgap = t[1:] - t_end[:-1]
+    common = np.minimum(qgap, tgap)
+    qx = qgap - common           # I-run lengths
+    tx = tgap - common           # D-run lengths
+    # aligned spans: blocks at even slots, commonGap re-alignments at odd
+    ns = 2 * nb - 1
+    span_q = np.empty(ns, np.int64)
+    span_t = np.empty(ns, np.int64)
+    span_l = np.empty(ns, np.int64)
+    span_q[0::2] = q
+    span_t[0::2] = t
+    span_l[0::2] = ln
+    if nb > 1:
+        span_q[1::2] = q_end[:-1] + qx
+        span_t[1::2] = t_end[:-1] + tx
+        span_l[1::2] = np.maximum(common, 0)
+    total = int(span_l.sum())
+    sidx = np.repeat(np.arange(ns), span_l)
+    starts = np.cumsum(span_l) - span_l
+    off = np.arange(total) - starts[sidx]
+    eq = np.asarray(read)[span_q[sidx] + off] == \
+        np.asarray(chrom)[span_t[sidx] + off]
+    if not show_mismatch:
+        eq = np.ones(total, bool)
+    brk = np.nonzero((eq[1:] != eq[:-1]) | (sidx[1:] != sidx[:-1]))[0] + 1
+    rs = np.concatenate(([0], brk))
+    rlen = np.diff(np.concatenate((rs, [total])))
+    rval = eq[rs]
+    rspan = sidx[rs]
+
     ops: list = []
 
-    def push(op, ln):
-        if ln <= 0:
+    def push(op, n):
+        if n <= 0:
             return
         if ops and ops[-1][0] == op:
-            ops[-1][1] += ln
+            ops[-1][1] += n
         else:
-            ops.append([op, ln])
+            ops.append([op, n])
 
-    def aligned(q, t, ln):
-        if show_mismatch:
-            for is_m, rl in _runs_eq(read[q:q + ln], chrom[t:t + ln]):
-                push("=" if is_m else "X", rl)
-        else:
-            push("M", ln)
-
-    for b, (q, t, ln) in enumerate(blocks):
-        aligned(q, t, ln)
-        if b == len(blocks) - 1:
-            break
-        qn, tn, _ = blocks[b + 1]
-        qgap = int(qn - q - ln)
-        tgap = int(tn - t - ln)
-        common = min(qgap, tgap)
-        qgap -= common
-        tgap -= common
-        qpos = q + ln
-        tpos = t + ln
-        push("I", qgap)
-        push("D", tgap)
-        if common > 0:
-            aligned(qpos + qgap, tpos + tgap, common)
-    return [(op, ln) for op, ln in ops]
+    match_op = "=" if show_mismatch else "M"
+    ri = 0
+    nr = len(rs)
+    for s in range(ns):
+        if s % 2 == 1:
+            g = (s - 1) // 2
+            push("I", int(qx[g]))
+            push("D", int(tx[g]))
+        while ri < nr and rspan[ri] == s:
+            push(match_op if rval[ri] else "X", int(rlen[ri]))
+            ri += 1
+    return [(op, n) for op, n in ops]
 
 
 def score_ops(ops, read=None, chrom=None, blocks=None) -> AlnStats:

@@ -174,30 +174,34 @@ def blocks_from_ops_batch(ops: np.ndarray):
     Returns a list of B block lists [(q_off, t_off, len)].
     """
     B, L = ops.shape
-    n = (ops >= 0).sum(axis=1)                       # -1s are contiguous
-    # reverse each row's valid prefix into start-first order
-    idx = n[:, None] - 1 - np.arange(L)[None, :]
-    rev = np.where(idx >= 0, ops[np.arange(B)[:, None], np.clip(idx, 0, L - 1)],
-                   -1).astype(np.int8)
-    qstep = ((rev == LEFT) | (rev == DIAG)).astype(np.int64)
-    tstep = ((rev == DOWN) | (rev == DIAG)).astype(np.int64)
-    qoff = np.cumsum(qstep, axis=1) - qstep          # exclusive prefix
-    toff = np.cumsum(tstep, axis=1) - tstep
-    is_diag = rev == DIAG
+    # ops are end-of-alignment-first; instead of reversing each row,
+    # compute alignment-order offsets from suffix counts: the q offset of
+    # an element is the number of q-consuming ops AFTER it in array order
+    is_diag = ops == DIAG
+    qstep = is_diag | (ops == LEFT)
+    tstep = is_diag | (ops == DOWN)
+    cq = qstep.cumsum(axis=1, dtype=np.int32)        # inclusive prefix
+    ct = tstep.cumsum(axis=1, dtype=np.int32)
+    tq = cq[:, -1]
+    tt = ct[:, -1]
     prev_diag = np.concatenate(
         [np.zeros((B, 1), bool), is_diag[:, :-1]], axis=1)
     next_diag = np.concatenate(
         [is_diag[:, 1:], np.zeros((B, 1), bool)], axis=1)
-    sb, sj = np.nonzero(is_diag & ~prev_diag)        # run starts
-    eb, ej = np.nonzero(is_diag & ~next_diag)        # run ends (paired)
+    sb, sj = np.nonzero(is_diag & ~prev_diag)        # run starts (array order)
+    _, ej = np.nonzero(is_diag & ~next_diag)         # run ends (paired)
     lens = ej - sj + 1
-    rows = np.stack([qoff[sb, sj], toff[sb, sj], lens], axis=1).tolist()
-    # nonzero is row-major: split the run list at row boundaries
+    # run's first base in alignment order is its LAST array element (ej)
+    qv = tq[sb] - cq[sb, ej]
+    tv = tt[sb] - ct[sb, ej]
+    rows = list(zip(qv.tolist(), tv.tolist(), lens.tolist()))
+    # nonzero is row-major: split at row boundaries; array order is
+    # end-first, so reverse each row's slice into ascending-q order
     cuts = np.searchsorted(sb, np.arange(1, B))
     out = []
     prev = 0
     for c in list(cuts) + [len(rows)]:
-        out.append([tuple(r) for r in rows[prev:c]])
+        out.append(rows[prev:c][::-1])
         prev = c
     return out
 
