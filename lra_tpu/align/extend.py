@@ -76,6 +76,10 @@ def linear_extend_cluster(cluster: Cluster, read: np.ndarray,
 
     pts = list(overlap_points or [])
 
+    from .. import native
+    if native.available():
+        return native.linear_extend(read, chrom, q, t, strand, K, pts)
+
     def has_overlap(i):
         for (coord, is_t) in pts:
             if not is_t and q[i] <= coord < q[i] + K:

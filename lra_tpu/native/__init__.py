@@ -56,6 +56,15 @@ def _load():
         ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.lrn_linear_extend.restype = ctypes.c_int64
+    lib.lrn_linear_extend.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -117,3 +126,42 @@ def minimizers(codes: np.ndarray, k: int, w: int, canonical: bool = True):
     if n < 0:
         raise RuntimeError("lrn_minimizers capacity exceeded")
     return tup[:n].copy(), pos[:n].copy(), strand[:n].copy()
+
+
+def linear_extend(read: np.ndarray, chrom: np.ndarray, q: np.ndarray,
+                  t: np.ndarray, strand: int, K: int, pts):
+    """Native linear anchor extension walk; None if unavailable.
+
+    q/t: diagonal-sorted int64 anchor starts; pts: [(coord, is_t)].
+    Returns (out_q, out_t, out_len, out_ovp)."""
+    lib = _load()
+    if not lib:
+        return None
+    n = len(q)
+    read = np.ascontiguousarray(read, np.uint8)
+    chrom = np.ascontiguousarray(chrom, np.uint8)
+    q = np.ascontiguousarray(q, np.int64)
+    t = np.ascontiguousarray(t, np.int64)
+    npts = len(pts)
+    pc = np.fromiter((p[0] for p in pts), np.int64, npts) if npts else \
+        np.zeros(0, np.int64)
+    pt = np.fromiter((1 if p[1] else 0 for p in pts), np.uint8, npts) \
+        if npts else np.zeros(0, np.uint8)
+    cap = 2 * n + 2
+    oq = np.empty(cap, np.int64)
+    ot = np.empty(cap, np.int64)
+    ol = np.empty(cap, np.int64)
+    ov = np.empty(cap, np.uint8)
+    cnt = lib.lrn_linear_extend(
+        read.ctypes.data_as(ctypes.c_void_p), len(read),
+        chrom.ctypes.data_as(ctypes.c_void_p), len(chrom),
+        q.ctypes.data_as(ctypes.c_void_p),
+        t.ctypes.data_as(ctypes.c_void_p), n, strand, K,
+        pc.ctypes.data_as(ctypes.c_void_p),
+        pt.ctypes.data_as(ctypes.c_void_p), npts,
+        oq.ctypes.data_as(ctypes.c_void_p),
+        ot.ctypes.data_as(ctypes.c_void_p),
+        ol.ctypes.data_as(ctypes.c_void_p),
+        ov.ctypes.data_as(ctypes.c_void_p))
+    return (oq[:cnt].copy(), ot[:cnt].copy(), ol[:cnt].copy(),
+            ov[:cnt].astype(bool))

@@ -14,6 +14,7 @@
 //
 // Build: make -C lra_tpu/native  (g++ -O3 -shared -fPIC, links zlib).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -230,6 +231,121 @@ int64_t lrn_minimizers(const uint8_t* codes, int64_t len, int k, int w,
     }
   }
   return count;
+}
+
+// Linear anchor extension: merge co-diagonal K-length anchors into
+// maximal exact matches by literal base comparison (the two-pointer walk
+// of align/extend.py:linear_extend_cluster, semantics of the reference's
+// LinearExtend.h:137-360 incl. Checkbp and CheckOverlap).  Anchors arrive
+// diagonal-sorted; outputs are capped at 2n+1 entries.
+// Returns the number of emitted anchors.
+int64_t lrn_linear_extend(const uint8_t* read, int64_t /*qlen*/,
+                          const uint8_t* chrom, int64_t tlen,
+                          const int64_t* q, const int64_t* t, int64_t n,
+                          int32_t strand, int32_t K,
+                          const int64_t* pt_coord, const uint8_t* pt_is_t,
+                          int64_t npts,
+                          int64_t* out_q, int64_t* out_t,
+                          int64_t* out_len, uint8_t* out_ovp) {
+  if (n == 0) return 0;
+  int64_t cnt = 0;
+  auto has_overlap = [&](int64_t i) -> bool {
+    for (int64_t p = 0; p < npts; p++) {
+      if (!pt_is_t[p] && q[i] <= pt_coord[p] && pt_coord[p] < q[i] + K)
+        return true;
+      if (pt_is_t[p] && t[i] <= pt_coord[p] && pt_coord[p] < t[i] + K)
+        return true;
+    }
+    return false;
+  };
+  auto first_mm_fwd = [&](int64_t q0, int64_t t0, int64_t q_hi,
+                          int64_t t_hi) -> int64_t {
+    int64_t m = std::min(q_hi - q0, t_hi - t0);
+    if (m <= 0) return 0;
+    for (int64_t s = 0; s < m; s++)
+      if (read[q0 + s] != chrom[t0 + s]) return s;
+    return m;
+  };
+  auto first_mm_rev = [&](int64_t q0, int64_t t0, int64_t q_hi) -> int64_t {
+    int64_t m = std::min(q_hi - q0, t0 + 1);
+    if (m <= 0) return 0;
+    for (int64_t s = 0; s < m; s++) {
+      uint8_t b = chrom[t0 - s];
+      if (b < 4) b = 3 - b;
+      if (read[q0 + s] != b) return s;
+    }
+    return m;
+  };
+  // ext ends < 0 mean "default"
+  auto emit_run = [&](int64_t m, int64_t last, int64_t ext_q_end,
+                      int64_t ext_t_end) {
+    int64_t qe = ext_q_end >= 0 ? ext_q_end : q[last] + K;
+    if (strand == 0) {
+      out_q[cnt] = q[m];
+      out_t[cnt] = t[m];
+      out_len[cnt] = qe - q[m];
+    } else {
+      int64_t te = ext_t_end >= 0 ? ext_t_end : t[last];
+      out_q[cnt] = q[m];
+      out_t[cnt] = te;
+      out_len[cnt] = qe - q[m];
+    }
+    out_ovp[cnt] = 0;
+    cnt++;
+  };
+  int64_t m = 0, i = 1;
+  bool chm = true;
+  while (i < n) {
+    if (chm && has_overlap(m)) {
+      out_q[cnt] = q[m]; out_t[cnt] = t[m];
+      out_len[cnt] = K; out_ovp[cnt] = 1; cnt++;
+      m = i; i++; chm = true;
+      continue;
+    }
+    if (has_overlap(i)) {
+      emit_run(m, i - 1, -1, -1);
+      out_q[cnt] = q[i]; out_t[cnt] = t[i];
+      out_len[cnt] = K; out_ovp[cnt] = 1; cnt++;
+      m = i + 1; i = m + 1; chm = true;
+      continue;
+    }
+    bool same_diag = (strand == 0)
+        ? (q[i - 1] - t[i - 1]) == (q[i] - t[i])
+        : (q[i - 1] + t[i - 1]) == (q[i] + t[i]);
+    if (same_diag) {
+      if (q[i] < q[i - 1] + K) {
+        i++;
+      } else if (strand == 0) {
+        int64_t ext = first_mm_fwd(q[i - 1] + K,
+                                   std::min(tlen, t[i - 1] + K),
+                                   q[i], std::min(tlen, t[i]));
+        int64_t qe = q[i - 1] + K + ext;
+        if (qe == q[i]) {
+          i++;
+        } else {
+          emit_run(m, i - 1, qe, -1);
+          m = i; i++;
+        }
+      } else {
+        int64_t ext = first_mm_rev(q[i - 1] + K,
+                                   std::min(tlen - 1, t[i - 1] - 1), q[i]);
+        int64_t qe = q[i - 1] + K + ext;
+        int64_t te_final = t[i - 1] - 1 - ext;
+        if (qe == q[i] && te_final == t[i] + K - 1) {
+          i++;
+        } else {
+          emit_run(m, i - 1, qe, te_final + 1);
+          m = i; i++;
+        }
+      }
+    } else {
+      emit_run(m, i - 1, -1, -1);
+      m = i; i++;
+    }
+    chm = false;
+  }
+  if (m < n) emit_run(m, n - 1, -1, -1);
+  return cnt;
 }
 
 }  // extern "C"

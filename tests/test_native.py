@@ -68,3 +68,61 @@ def test_native_loader_fasta_and_fastq_gz(rng, tmp_path):
             assert sequtils.decode(codes[offsets[i]:offsets[i + 1]]) == s
         if wq:
             assert (quals == ord("5")).all()
+
+
+def test_native_linear_extend_matches_python(rng):
+    """The C++ extension walk must reproduce the Python walk exactly on
+    random clusters, both strands, with and without overlap points."""
+    import lra_tpu.native as native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    from lra_tpu.align.extend import linear_extend_cluster
+    from lra_tpu.cluster.types import Cluster
+    from lra_tpu import seq as sequtils
+
+    for trial in range(40):
+        K = int(rng.integers(8, 20))
+        chrom = rng.integers(0, 4, 4000).astype(np.uint8)
+        strand = int(rng.random() < 0.5)
+        # read derived from chrom span so anchors are real matches
+        t0 = int(rng.integers(0, 1500))
+        span = chrom[t0:t0 + 2000].copy()
+        for _ in range(int(rng.integers(0, 30))):
+            p = int(rng.integers(0, len(span)))
+            span[p] = (span[p] + 1) % 4
+        read = span if strand == 0 else sequtils.revcomp(span)
+        # anchors: exact K-mer matches between read (strand frame) and chrom
+        rs = read if strand == 0 else sequtils.revcomp(read)
+        qs, ts = [], []
+        for _ in range(int(rng.integers(2, 60))):
+            qq = int(rng.integers(0, len(span) - K))
+            if strand == 0:
+                tt = t0 + qq
+                if (read[qq:qq + K] == chrom[tt:tt + K]).all():
+                    qs.append(qq); ts.append(tt)
+            else:
+                # rev anchor bookkeeping: q fwd-read frame, t lowest coord
+                tt = t0 + len(span) - qq - K
+                qs.append(qq); ts.append(tt)
+        if len(qs) < 2:
+            continue
+        c = Cluster(np.array(qs, np.int64), np.array(ts, np.int64),
+                    strand, K, 1.0, 0)
+        c.set_boundaries()
+        pts = []
+        if rng.random() < 0.5:
+            pts = [(int(rng.integers(0, 2000)), bool(rng.random() < 0.5))]
+        got = linear_extend_cluster(c, read if strand == 0 else
+                                    sequtils.revcomp(read), chrom, K, pts)
+        # force the Python path
+        real = native._lib
+        native._lib = False
+        try:
+            want = linear_extend_cluster(c, read if strand == 0 else
+                                         sequtils.revcomp(read), chrom, K,
+                                         pts)
+        finally:
+            native._lib = real
+        for a, b in zip(got, want):
+            assert np.array_equal(a, b), (trial, strand, got, want)
