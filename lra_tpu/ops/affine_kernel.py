@@ -167,6 +167,31 @@ def banded_global_traced(q, t, qlen, tlen, K, m, mm, indel, kband=None):
     return _traceback_ops_device(arrows, qlen, tlen, K, L)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "m", "mm", "indel"))
+def banded_global_traced_packed(q, t, qlen, tlen, K, m, mm, indel,
+                                kband=None):
+    """banded_global_traced with the op plane packed 2 bits/op on device
+    (LEFT/DOWN/DIAG = 1/2/3, terminator 0) — a 4x smaller d2h transfer on
+    a link with ~12MB/s effective bandwidth."""
+    ops = banded_global_traced(q, t, qlen, tlen, K, m, mm, indel, kband)
+    o = jnp.where(ops < 0, 0, ops).astype(jnp.uint8)
+    return (o[:, 0::4] | (o[:, 1::4] << 2) | (o[:, 2::4] << 4)
+            | (o[:, 3::4] << 6))
+
+
+def unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of the device 2-bit packing -> int8 [B, L] with -1
+    after termination (blocks_from_ops_batch's input format)."""
+    B, L4 = packed.shape
+    out = np.empty((B, L4 * 4), np.int8)
+    out[:, 0::4] = packed & 3
+    out[:, 1::4] = (packed >> 2) & 3
+    out[:, 2::4] = (packed >> 4) & 3
+    out[:, 3::4] = (packed >> 6) & 3
+    out[out == 0] = -1
+    return out
+
+
 def blocks_from_ops_batch(ops: np.ndarray):
     """Vectorized blocks_from_ops_row over the whole bucket.
 

@@ -14,8 +14,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..align.affine import affine_one_gap_align
-from ..ops.affine_kernel import (banded_global_np, banded_global_traced,
-                                 blocks_from_ops_batch, traceback_banded)
+from ..ops.affine_kernel import (banded_global_np,
+                                 banded_global_traced_packed,
+                                 blocks_from_ops_batch, traceback_banded,
+                                 unpack_ops)
 from ..options import Options
 
 # coarse on purpose: every (K, S) class is a separate device dispatch +
@@ -114,7 +116,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
         if use_device:
             # async dispatch: traceback runs on device; only the compact
             # [B, 2S] op plane comes back
-            ops = banded_global_traced(
+            ops = banded_global_traced_packed(
                 place(q), place(t), place(qlen), place(tlen), K,
                 opts.local_match, opts.local_mismatch, opts.local_indel,
                 kband=place(kband))
@@ -131,7 +133,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             buf.copy_to_host_async()
     for K, items, qlen, tlen, buf in pending:
         if K is None:
-            blocks = blocks_from_ops_batch(np.asarray(buf))
+            blocks = blocks_from_ops_batch(unpack_ops(np.asarray(buf)))
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
         else:

@@ -303,6 +303,7 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
 
     # ---- host: chains -> typed split -> refine -> SDP-2' problems ----
     sdp2_problems = []
+    box_tasks: list = []   # deferred refine boxes, whole batch
     work = []   # (si, chain_idx, seg_clusters list)
     for si, st in enumerate(states):
         if st.unaligned or per_state[si] is None:
@@ -339,8 +340,13 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                     for r, (c, ty) in zip(refined, seg_clusters)]
                 refine_btwn_clusters_chain([c for c, _ in seg_clusters],
                                            genome, st.codes, st.rc, opts,
-                                           genome_li.k, genome_li.w)
+                                           genome_li.k, genome_li.w,
+                                           box_tasks=box_tasks)
             work.append((si, uc, seg_clusters))
+
+    # ---- device: batched refine-box alignment ----
+    from .refine import solve_box_tasks
+    solve_box_tasks(box_tasks, opts, use_device)
 
     # extension + SDP-2' per segment
     from .highacc import ExtCluster, _make_sdp2_problem

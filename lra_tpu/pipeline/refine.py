@@ -234,62 +234,82 @@ def enqueue_btwn_box(tasks: list, cluster: Cluster, chrom_codes,
                          qs, qe, ts, te, two_blocks, rev_out))
 
 
+def _box_seeds(tk: BoxTask, opts: Options, strand: int, qs: int, qe: int,
+               job) -> tuple:
+    """Seeds for one box on one strand: from a solved device job's blocks,
+    or via the large-box minimizer reseed."""
+    strands = [tk.read_codes, tk.read_rc]
+    if job is not None:
+        qseq = strands[strand][qs:qe]
+        tseq = tk.chrom_codes[tk.ts:tk.te]
+        qp, tp, _ = _harvest_blocks(job.blocks or [], qseq, tseq, tk.K)
+        return qp + qs, tp + tk.ts
+    band = _space_diag(opts, qe - qs)
+    qp, tp, _ = refine_space(tk.K, tk.W, band, None, tk.chrom_codes,
+                             strands[strand], opts, qs, qe, tk.ts, tk.te)
+    return qp, tp
+
+
+def _queue_box_job(tk: BoxTask, strand: int, qs: int, qe: int, jobs: list):
+    from .gap_align import GapJob
+
+    strand_seq = (tk.read_codes, tk.read_rc)[strand]
+    qseq = strand_seq[qs:qe]
+    tseq = tk.chrom_codes[tk.ts:tk.te]
+    if 0 < len(qseq) < 1000 and 0 < len(tseq) < 1000:
+        job = GapJob(np.ascontiguousarray(qseq),
+                     np.ascontiguousarray(tseq), key=None, band=30)
+        jobs.append(job)
+        return job
+    return None
+
+
 def solve_box_tasks(tasks: list, opts: Options,
                     use_device: bool = True) -> None:
-    """Align all small boxes in one batched device round, then finish
-    each task (seed harvest, sparsity check, reverse-strand retry,
-    cluster append) with refine_btwn_space semantics."""
-    from .gap_align import GapJob, solve_gap_jobs
+    """Two batched device rounds with refine_btwn_space semantics:
+    round 1 aligns every box on its own strand; boxes that came back too
+    sparse retry on the reverse strand in round 2 (inversion capture);
+    then seeds are appended to their clusters."""
+    from .gap_align import solve_gap_jobs
 
     jobs = []
     for tk in tasks:
-        strand_seq = (tk.read_codes, tk.read_rc)[tk.cluster.strand]
-        qseq = strand_seq[tk.qs:tk.qe]
-        tseq = tk.chrom_codes[tk.ts:tk.te]
-        if 0 < len(qseq) < 1000 and 0 < len(tseq) < 1000:
-            tk.job = GapJob(np.ascontiguousarray(qseq),
-                            np.ascontiguousarray(tseq), key=None, band=30)
-            jobs.append(tk.job)
+        tk.job = _queue_box_job(tk, tk.cluster.strand, tk.qs, tk.qe, jobs)
     solve_gap_jobs(jobs, opts, use_device)
+
+    # round 1 results; collect reverse retries
+    rev_jobs = []
+    retry = []
     for tk in tasks:
-        _finish_box_task(tk, opts)
-
-
-def _finish_box_task(tk: BoxTask, opts: Options) -> None:
-    read_len = len(tk.read_codes)
-    st = tk.cluster.strand
-    strands = [tk.read_codes, tk.read_rc]
-    band = _space_diag(opts, tk.qe - tk.qs)
-    if tk.job is not None:
-        qseq = strands[st][tk.qs:tk.qe]
-        tseq = tk.chrom_codes[tk.ts:tk.te]
-        qp, tp, _ = _harvest_blocks(tk.job.blocks or [], qseq, tseq, tk.K)
-        qp = qp + tk.qs
-        tp = tp + tk.ts
-    else:
-        qp, tp, _ = refine_space(tk.K, tk.W, band, None, tk.chrom_codes,
-                                 strands[st], opts, tk.qs, tk.qe, tk.ts,
-                                 tk.te)
-    eff = len(qp) / max(1, min(tk.qe - tk.qs, tk.te - tk.ts))
-    if len(qp) and (tk.two_blocks or eff >= opts.anchors_too_sparse * 2):
-        _append_matches(tk.cluster, qp, tp, st, read_len, tk.K)
-        return
-    if tk.two_blocks:
-        return
-    # try the reverse strand (inversion capture)
-    rst = 1 - st
-    qs2, qe2 = read_len - tk.qe, read_len - tk.qs
-    qp2, tp2, _ = refine_space(tk.K, tk.W, band, None, tk.chrom_codes,
-                               strands[rst], opts, qs2, qe2, tk.ts, tk.te)
-    reff = len(qp2) / max(1, min(qe2 - qs2, tk.te - tk.ts))
-    if eff >= reff:
-        if len(qp):
+        st = tk.cluster.strand
+        read_len = len(tk.read_codes)
+        qp, tp = _box_seeds(tk, opts, st, tk.qs, tk.qe, tk.job)
+        eff = len(qp) / max(1, min(tk.qe - tk.qs, tk.te - tk.ts))
+        if len(qp) and (tk.two_blocks or eff >= opts.anchors_too_sparse * 2):
             _append_matches(tk.cluster, qp, tp, st, read_len, tk.K)
-        return
-    rc = Cluster(np.zeros(0, np.int64), np.zeros(0, np.int64), rst, tk.K,
-                 1.0, tk.cluster.chrom)
-    _append_matches(rc, qp2, tp2, rst, read_len, tk.K)
-    tk.rev_out.append(rc)
+            continue
+        if tk.two_blocks:
+            continue
+        rst = 1 - st
+        qs2, qe2 = read_len - tk.qe, read_len - tk.qs
+        rjob = _queue_box_job(tk, rst, qs2, qe2, rev_jobs)
+        retry.append((tk, qp, tp, eff, rjob, qs2, qe2))
+    solve_gap_jobs(rev_jobs, opts, use_device)
+
+    for (tk, qp, tp, eff, rjob, qs2, qe2) in retry:
+        st = tk.cluster.strand
+        rst = 1 - st
+        read_len = len(tk.read_codes)
+        qp2, tp2 = _box_seeds(tk, opts, rst, qs2, qe2, rjob)
+        reff = len(qp2) / max(1, min(qe2 - qs2, tk.te - tk.ts))
+        if eff >= reff:
+            if len(qp):
+                _append_matches(tk.cluster, qp, tp, st, read_len, tk.K)
+            continue
+        rc = Cluster(np.zeros(0, np.int64), np.zeros(0, np.int64), rst,
+                     tk.K, 1.0, tk.cluster.chrom)
+        _append_matches(rc, qp2, tp2, rst, read_len, tk.K)
+        tk.rev_out.append(rc)
 
 
 def refine_btwn_space(cluster: Cluster, genome, chrom_codes, read_codes,
