@@ -15,6 +15,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persist CPU-kernel compilations across test runs (same cache dir keyed
+# by platform, so TPU entries don't collide)
+from lra_tpu import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 import pytest
 
