@@ -101,8 +101,10 @@ def find_matches(read_codes: np.ndarray, index: GlobalIndex, opts: Options):
     SeparateMatchesByStrand (reference: MapRead.h:169-203).
     """
     rt, rp, rs = minimizers(read_codes, index.k, opts.global_w, canonical=True)
+    # index.pos stays uint32 — matched rows are gathered then widened, so
+    # no whole-index copy per read (3M+ elements on a 50Mb genome)
     qpos, tpos, freq, is_rev = match_minimizer_lists(
-        rt, rp.astype(np.int64), index.tuples, index.pos.astype(np.int64),
+        rt, rp.astype(np.int64), index.tuples, index.pos,
         opts.global_max_freq, t_freqs=index.freqs,
         q_strand=rs, t_strand=index.strand,
     )
