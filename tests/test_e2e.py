@@ -250,3 +250,28 @@ def test_translocation_split(world):
         for s in group.segments:
             chroms.add(s.chrom)
     assert chroms == {0, 1}, chroms
+
+
+def test_contig_preset_svs(world):
+    """CONTIG preset: a 60kb contig with SNPs, a deletion, and an
+    insertion must align as one segment with the SVs as exact-length
+    D/I CIGAR runs."""
+    rng, g, opts_ccs, _ = world
+    opts = preset("contig")
+    idx = build_global_index(g, opts)
+    start = 30000
+    span = np.array(g.codes[start:start + 60000])
+    for p in rng.integers(0, len(span), 60):
+        span[p] = (span[p] + 1) % 4
+    span = np.concatenate([span[:20000], span[20500:40000],
+                           rng.integers(0, 4, 300).astype(np.uint8),
+                           span[40000:]])
+    states, lines = align_reads([("ctg1", span)], g, idx, opts,
+                                use_device=False)
+    st = states[0]
+    assert not st.unaligned
+    seg = st.groups[0].segments[-1]
+    assert abs(seg.tStart - start) <= 50
+    cig = seg.stats.cigar
+    assert re.search(r"500D", cig), cig[:200]
+    assert re.search(r"300I", cig), cig[:200]
