@@ -84,9 +84,11 @@ def build_global_index(genome: Genome, opts: Options) -> GlobalIndex:
     pos = np.concatenate(pos_l)
     strand = np.concatenate(strand_l)
 
-    # sort by (tuple, pos) — reference sorts by tuple only (stable within a
-    # chromosome by construction); (tuple, pos) is deterministic globally.
-    order = np.lexsort((pos, tuples))
+    # sort by (tuple, pos): pos is globally ascending before the sort, so
+    # a stable tuple-only argsort gives the same deterministic order as
+    # lexsort((pos, tuples)) at half the cost (reference sorts by tuple
+    # only, MMIndex.h:314)
+    order = np.argsort(tuples, kind="stable")
     tuples, pos, strand = tuples[order], pos[order], strand[order]
 
     # tuple run lengths -> frequency per occurrence
@@ -106,8 +108,9 @@ def build_global_index(genome: Genome, opts: Options) -> GlobalIndex:
     surv = np.nonzero(keep)[0]
     if len(surv):
         sfreq = freq[surv]
-        order2 = np.lexsort((-surv, sfreq))          # freq asc, index desc
-        ranked = surv[order2]
+        # (freq asc, index desc): stable argsort of the reversed array
+        o = np.argsort(sfreq[::-1], kind="stable")
+        ranked = surv[len(surv) - 1 - o]
         win = pos[ranked] // opts.global_winsize
         # rank of each element within its window, in `ranked` order
         worder = np.argsort(win, kind="stable")
