@@ -66,6 +66,16 @@ def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
     """
     n = len(codes)
     nwin = (n + window - 1) // window
+
+    from .. import native
+    if native.available():
+        tup, pos, bounds = native.local_index_build(codes, k, w, window,
+                                                    max_freq)
+        seq_offsets = offset + np.minimum(
+            np.arange(nwin + 1, dtype=np.int64) * window, n)
+        return LocalIndex(k, w, window, max_freq, tup, pos, seq_offsets,
+                          bounds)
+
     tuples_l, pos_l = [], []
     seq_offsets = [offset]
     tuple_bounds = [0]

@@ -65,6 +65,19 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.lrn_local_index_build.restype = ctypes.c_int64
+    lib.lrn_local_index_build.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.lrn_local_reseed.restype = ctypes.c_int64
+    lib.lrn_local_reseed.argtypes = (
+        [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 3
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 4
+        + [ctypes.c_void_p] * 2 + [ctypes.c_int64] * 7
+        + [ctypes.c_void_p] * 2 + [ctypes.c_int64]
+    )
     _lib = lib
     return _lib
 
@@ -165,3 +178,65 @@ def linear_extend(read: np.ndarray, chrom: np.ndarray, q: np.ndarray,
         ov.ctypes.data_as(ctypes.c_void_p))
     return (oq[:cnt].copy(), ot[:cnt].copy(), ol[:cnt].copy(),
             ov[:cnt].astype(bool))
+
+
+def local_index_build(codes: np.ndarray, k: int, w: int, window: int,
+                      max_freq: int):
+    """Native per-window local index build; None if unavailable.
+    Returns (tuples u64, pos u32, tuple_bounds i64[nwin+1])."""
+    lib = _load()
+    if not lib:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes)
+    nwin = (n + window - 1) // window
+    cap = max(16, n + 16)
+    tup = np.empty(cap, np.uint64)
+    pos = np.empty(cap, np.uint32)
+    bounds = np.empty(nwin + 1, np.int64)
+    total = lib.lrn_local_index_build(
+        codes.ctypes.data_as(ctypes.c_void_p), n, k, w, window, max_freq,
+        tup.ctypes.data_as(ctypes.c_void_p),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        bounds.ctypes.data_as(ctypes.c_void_p), cap)
+    if total < 0:
+        raise RuntimeError("lrn_local_index_build capacity exceeded")
+    return tup[:total].copy(), pos[:total].copy(), bounds
+
+
+def local_reseed(genome_li, rli, ls: int, le: int, chrom_off: int,
+                 read_len: int, max_freq: int, margin: int,
+                 t_sorted: np.ndarray, q_by_t: np.ndarray,
+                 min_dn: int, max_dn: int, qlo: int, qhi: int,
+                 tlo: int, thi: int):
+    """Native per-cluster local-index reseeding walk; None if unavailable.
+    Returns (qpos i64, tpos i64)."""
+    lib = _load()
+    if not lib:
+        return None
+    t_sorted = np.ascontiguousarray(t_sorted, np.int64)
+    q_by_t = np.ascontiguousarray(q_by_t, np.int64)
+    cap = 1 << 14
+    while True:
+        oq = np.empty(cap, np.int64)
+        ot = np.empty(cap, np.int64)
+        cnt = lib.lrn_local_reseed(
+            genome_li.tuples.ctypes.data_as(ctypes.c_void_p),
+            genome_li.pos.ctypes.data_as(ctypes.c_void_p),
+            genome_li.seq_offsets.ctypes.data_as(ctypes.c_void_p),
+            genome_li.tuple_bounds.ctypes.data_as(ctypes.c_void_p),
+            ls, le, chrom_off,
+            rli.tuples.ctypes.data_as(ctypes.c_void_p),
+            rli.pos.ctypes.data_as(ctypes.c_void_p),
+            rli.seq_offsets.ctypes.data_as(ctypes.c_void_p),
+            rli.tuple_bounds.ctypes.data_as(ctypes.c_void_p),
+            rli.nwindows(),
+            read_len, max_freq, margin,
+            t_sorted.ctypes.data_as(ctypes.c_void_p),
+            q_by_t.ctypes.data_as(ctypes.c_void_p), len(t_sorted),
+            min_dn, max_dn, qlo, qhi, tlo, thi,
+            oq.ctypes.data_as(ctypes.c_void_p),
+            ot.ctypes.data_as(ctypes.c_void_p), cap)
+        if cnt >= 0:
+            return oq[:cnt].copy(), ot[:cnt].copy()
+        cap *= 4

@@ -233,6 +233,133 @@ int64_t lrn_minimizers(const uint8_t* codes, int64_t len, int k, int w,
   return count;
 }
 
+// Local index build: per `window`-sized slice of `codes`, non-canonical
+// minimizers sorted by (tuple, pos) with per-window frequency cap
+// count < max_freq (index/local_index.py:build_local_index; reference:
+// LocalIndex::IndexSeq, MMIndex.h:200-254).  out_bounds: int64[nwin+1].
+// Returns total rows or -1 if cap exceeded.
+int64_t lrn_local_index_build(const uint8_t* codes, int64_t len,
+                              int k, int w, int window, int max_freq,
+                              uint64_t* out_tuples, uint32_t* out_pos,
+                              int64_t* out_bounds, int64_t cap) {
+  const int64_t nwin = (len + window - 1) / window;
+  int64_t total = 0;
+  out_bounds[0] = 0;
+  std::vector<uint64_t> tup(window + 1);
+  std::vector<uint32_t> pos(window + 1);
+  std::vector<uint8_t> str(window + 1);
+  std::vector<int32_t> idx;
+  for (int64_t wi = 0; wi < nwin; wi++) {
+    const int64_t s = wi * window;
+    const int64_t e = std::min(len, s + window);
+    const int64_t n = lrn_minimizers(codes + s, e - s, k, w, 0,
+                                     tup.data(), pos.data(), str.data(),
+                                     window + 1);
+    if (n < 0) return -1;
+    idx.resize(n);
+    for (int64_t i = 0; i < n; i++) idx[i] = static_cast<int32_t>(i);
+    std::stable_sort(idx.begin(), idx.end(),
+                     [&](int32_t a, int32_t b) { return tup[a] < tup[b]; });
+    int64_t i = 0;
+    while (i < n) {
+      int64_t j = i;
+      while (j < n && tup[idx[j]] == tup[idx[i]]) j++;
+      if (j - i < max_freq) {
+        for (int64_t r = i; r < j; r++) {
+          if (total >= cap) return -1;
+          out_tuples[total] = tup[idx[r]];
+          out_pos[total] = pos[idx[r]];
+          total++;
+        }
+      }
+      i = j;
+    }
+    out_bounds[wi + 1] = total;
+  }
+  return total;
+}
+
+// Local-index reseeding walk: for each genome local-index window in
+// [ls, le], project the cluster's anchors to a read range, intersect the
+// window's minimizers with the read's local-index windows covering that
+// range, and emit band/box-filtered (q, t) seed pairs — the per-cluster
+// inner loop of REFINEclusters (pipeline/refine.py:refine_clusters;
+// reference: ClusterRefine.h:51-240).  Returns count or -1 if cap hit.
+int64_t lrn_local_reseed(
+    const uint64_t* g_tuples, const uint32_t* g_pos,
+    const int64_t* g_seqoff, const int64_t* g_bounds,
+    int64_t ls, int64_t le, int64_t chrom_off,
+    const uint64_t* r_tuples, const uint32_t* r_pos,
+    const int64_t* r_seqoff, const int64_t* r_bounds, int64_t r_nwin,
+    int64_t read_len, int64_t max_freq, int64_t margin,
+    const int64_t* t_sorted, const int64_t* q_by_t, int64_t n_anchor,
+    int64_t min_dn, int64_t max_dn, int64_t qlo, int64_t qhi,
+    int64_t tlo, int64_t thi,
+    int64_t* out_q, int64_t* out_t, int64_t cap) {
+  int64_t cnt = 0;
+  auto lookup = [&](int64_t p) -> int64_t {
+    // searchsorted(r_seqoff, p, 'left'); exact hit keeps i, else i-1
+    const int64_t* lo = std::lower_bound(r_seqoff, r_seqoff + r_nwin + 1, p);
+    int64_t i = lo - r_seqoff;
+    if (i > r_nwin || r_seqoff[i] != p) i = std::max<int64_t>(0, i - 1);
+    return i;
+  };
+  for (int64_t lsi = ls; lsi <= le; lsi++) {
+    const int64_t g_lo = g_seqoff[lsi] - chrom_off;
+    const int64_t g_hi = g_seqoff[lsi + 1] - 1 - chrom_off;
+    if (g_lo >= g_hi || g_lo < 0) continue;
+    int64_t m_s = std::lower_bound(t_sorted, t_sorted + n_anchor, g_lo)
+        - t_sorted;
+    int64_t m_e = std::upper_bound(t_sorted, t_sorted + n_anchor, g_hi)
+        - t_sorted;
+    if (m_s >= n_anchor) continue;
+    m_e = std::min(m_e, n_anchor - 1);
+    int64_t r_lo = q_by_t[m_s];
+    int64_t r_hi = q_by_t[m_e];
+    if (r_lo > r_hi) std::swap(r_lo, r_hi);
+    if (lsi == ls) r_lo = std::max<int64_t>(0, r_lo - margin);
+    if (lsi == le) r_hi = std::min(read_len, r_hi + margin);
+    if (r_lo > r_hi) continue;
+    const int64_t qi_s = lookup(r_lo);
+    const int64_t qi_e = lookup(std::min(r_hi, read_len - 1));
+    const int64_t gb_lo = g_bounds[lsi], gb_hi = g_bounds[lsi + 1];
+    if (gb_hi <= gb_lo) continue;
+    for (int64_t qi = qi_s; qi <= qi_e; qi++) {
+      const int64_t a = r_bounds[qi], b = r_bounds[qi + 1];
+      if (b <= a) continue;
+      const int64_t roff = r_seqoff[qi];
+      int64_t i = a;
+      while (i < b) {
+        int64_t j = i;
+        while (j < b && r_tuples[j] == r_tuples[i]) j++;
+        if (j - i <= max_freq) {
+          const uint64_t key = r_tuples[i];
+          int64_t lo = std::lower_bound(g_tuples + gb_lo, g_tuples + gb_hi,
+                                        key) - g_tuples;
+          int64_t hi = std::upper_bound(g_tuples + gb_lo, g_tuples + gb_hi,
+                                        key) - g_tuples;
+          for (int64_t r = i; r < j; r++) {
+            const int64_t qp = static_cast<int64_t>(r_pos[r]) + roff;
+            for (int64_t g = lo; g < hi; g++) {
+              const int64_t tp = static_cast<int64_t>(g_pos[g]) + g_lo;
+              const int64_t diag = tp - qp;
+              if (diag >= min_dn && diag <= max_dn && qp >= qlo &&
+                  qp < qhi && tp >= tlo && tp < thi) {
+                if (cnt >= cap) return -1;
+                out_q[cnt] = qp;
+                out_t[cnt] = tp;
+                cnt++;
+              }
+            }
+          }
+        }
+        i = j;
+      }
+    }
+  }
+  return cnt;
+}
+
 // Linear anchor extension: merge co-diagonal K-length anchors into
 // maximal exact matches by literal base comparison (the two-pointer walk
 // of align/extend.py:linear_extend_cluster, semantics of the reference's

@@ -73,6 +73,22 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
         order_t = np.argsort(t, kind="stable")
         t_sorted = t[order_t]
         q_by_t = q[order_t]
+
+        from .. import native
+        if native.available():
+            qq, tt = native.local_reseed(
+                genome_li, rli, ls, le, chrom_off, read_len,
+                opts.local_max_freq, window, t_sorted, q_by_t,
+                min_dn, max_dn, qlo, qhi, tlo, thi)
+            if len(qq):
+                if c.strand == 1:
+                    qq = _swap_strand(qq, read_len, k)
+                out.qpos = qq
+                out.tpos = tt
+                out.set_boundaries()
+            refined.append(out)
+            continue
+
         got_q, got_t = [], []
         for lsi in range(ls, le + 1):
             g_lo = int(genome_li.seq_offsets[lsi]) - chrom_off

@@ -126,3 +126,77 @@ def test_native_linear_extend_matches_python(rng):
             native._lib = real
         for a, b in zip(got, want):
             assert np.array_equal(a, b), (trial, strand, got, want)
+
+
+def test_native_local_index_build_matches_python(rng):
+    import lra_tpu.native as native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    from lra_tpu.index.local_index import build_local_index
+    from lra_tpu.sim import random_genome
+
+    codes = random_genome(rng, 30000)
+    nat = build_local_index(codes, 10, 5, 256, 15)
+    real = native._lib
+    native._lib = False
+    try:
+        py = build_local_index(codes, 10, 5, 256, 15)
+    finally:
+        native._lib = real
+    assert np.array_equal(nat.tuples, py.tuples)
+    assert np.array_equal(nat.pos, py.pos)
+    assert np.array_equal(nat.seq_offsets, py.seq_offsets)
+    assert np.array_equal(nat.tuple_bounds, py.tuple_bounds)
+
+
+def test_native_local_reseed_matches_python(rng):
+    import lra_tpu.native as native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    from lra_tpu import preset, seq as sequtils
+    from lra_tpu.anchors import find_matches
+    from lra_tpu.cluster.fine import matches_to_fine_clusters
+    from lra_tpu.cluster.types import Cluster
+    from lra_tpu.index.global_index import build_global_index
+    from lra_tpu.index.local_index import build_genome_local_index
+    from lra_tpu.io.genome import Genome
+    from lra_tpu.pipeline import refine as rf_mod
+    from lra_tpu.sim import random_genome, sample_read
+
+    genome = Genome.from_seqs([("chr1", random_genome(rng, 150000))])
+    opts = preset("ont")
+    gidx = build_global_index(genome, preset("ccs"))
+    gli = build_genome_local_index(genome, k=10, w=opts.local_w,
+                                   window=opts.local_index_window,
+                                   max_freq=opts.local_max_freq)
+    real = native._lib
+    checked = 0
+    for i in range(5):
+        r = sample_read(rng, genome.codes, 5000, snp=0.03, ins=0.01,
+                        dele=0.01)
+        fwd, rev = find_matches(r.codes, gidx, preset("ccs"))
+        cls = (matches_to_fine_clusters(fwd.qpos, fwd.tpos, preset("ccs"),
+                                        genome, gidx.k, 0)
+               + matches_to_fine_clusters(rev.qpos, rev.tpos, preset("ccs"),
+                                          genome, gidx.k, 1))
+        if not cls:
+            continue
+
+        def copies():
+            return [Cluster(c.qpos.copy(), c.tpos.copy(), c.strand, c.k,
+                            c.anchorfreq, c.chrom) for c in cls]
+        rc = sequtils.revcomp(r.codes)
+        a = rf_mod.refine_clusters(copies(), genome, gli, r.codes, rc, opts)
+        native._lib = False
+        try:
+            b = rf_mod.refine_clusters(copies(), genome, gli, r.codes, rc,
+                                       opts)
+        finally:
+            native._lib = real
+        for ca, cb in zip(a, b):
+            assert np.array_equal(ca.qpos, cb.qpos)
+            assert np.array_equal(ca.tpos, cb.tpos)
+            checked += 1
+    assert checked
