@@ -50,11 +50,16 @@ def plan_refine_regions(seg, opts: Options):
         j = i
         while j < n - 1:
             q, t, ln = blocks[j]
-            qn, tn, _ = blocks[j + 1]
+            qn, tn, ln_n = blocks[j + 1]
             qgap = qn - (q + ln)
             tgap = tn - (t + ln)
+            # span cap: a very noisy read can otherwise chain most of its
+            # blocks into one region, creating device jobs of unbounded
+            # length (each a fresh compile + a long sequential scan);
+            # consolidation within 2kb windows loses nothing material
+            span = qn + ln_n - blocks[i][0]
             if qgap < max_gap and tgap < max_gap and \
-               (j == i or blocks[j][2] < 100):
+               (j == i or blocks[j][2] < 100) and span <= 2048:
                 j += 1
             else:
                 break

@@ -36,7 +36,7 @@ def _size_bucket(n: int) -> int:
     for b in _SIZE_BUCKETS:
         if n <= b:
             return b
-    return ((n + 2047) // 2048) * 2048
+    return _pow2_at_least(n, 4096)
 
 
 @dataclass
@@ -73,13 +73,13 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
         diag = max(1, min(ql, tl))
         if diag + 2 * k >= max(ql, tl):
             kb = 2 * k   # banded-global regime (device or batched numpy)
-            # K class: narrow (gap closing) vs two wide tiers (indel
-            # refine); coarse so the bucket count — and with it the
-            # number of ~30ms device round trips — stays low
+            # K class: narrow (gap closing) vs one wide tier (indel
+            # refine).  The packed download size is independent of the
+            # band, so a single wide class costs only cheap VPU compute
+            # and halves the bucket count (each bucket is a ~30-50ms
+            # device round trip)
             if kb <= 2 * opts.local_band:
                 Kc = 2 * opts.local_band
-            elif kb <= 128:
-                Kc = 128
             else:
                 Kc = 512
             if kb <= 512:
