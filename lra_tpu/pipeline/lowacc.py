@@ -56,6 +56,46 @@ class UChain:
     TEnd: int = 0
 
 
+def remove_spurious_jump(uc: UChain) -> None:
+    """Drop short anchors between two adjacent opposite-sign diagonal
+    jumps >100bp — a zigzag artifact, not a real SV pair (reference:
+    RemoveSpuriousJump, Chain.h:897-961; called at Map_lowacc.h:190)."""
+    n = len(uc.qpos)
+    if n < 2:
+        return
+    remove = np.zeros(n, bool)
+    sv, svpos = [], []
+    for c in range(1, n):
+        if uc.strand[c] == uc.strand[c - 1]:
+            if uc.strand[c] == 0:
+                gap = int((uc.tpos[c] - uc.qpos[c])
+                          - (uc.tpos[c - 1] - uc.qpos[c - 1]))
+            else:
+                gap = int((uc.qpos[c] + uc.length[c] + uc.tpos[c])
+                          - (uc.qpos[c - 1] + uc.length[c - 1]
+                             + uc.tpos[c - 1]))
+            if abs(gap) > 100:
+                sv.append(gap)
+                svpos.append(c)
+        else:
+            sv.append(0)
+            svpos.append(c)
+    for c in range(1, len(sv)):
+        if (not remove[svpos[c - 1]] and np.sign(sv[c]) != np.sign(sv[c - 1])
+                and sv[c] != 0 and sv[c - 1] != 0
+                and svpos[c] - svpos[c - 1] == 1):
+            for i in range(svpos[c - 1], svpos[c]):
+                if uc.length[i] < 50:
+                    remove[i] = True
+    if remove.any():
+        keep = ~remove
+        uc.qpos = uc.qpos[keep]
+        uc.tpos = uc.tpos[keep]
+        uc.length = uc.length[keep]
+        uc.strand = uc.strand[keep]
+        uc.cluster = uc.cluster[keep]
+
+
 def _make_sdp1b_problem(ext_clusters: list, rate: float):
     """All extended anchors, strand lane + both lanes at cluster-boundary
     anchors (reference: SparseDP.h:2157-2166)."""
@@ -311,6 +351,12 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
         p, exts, anchor_cluster = per_state[si]
         chains = _decide_chains_1b(p, exts, anchor_cluster, opts,
                                    len(st.codes))
+        if not chains:
+            st.unaligned = True
+            continue
+        for uc in chains:
+            remove_spurious_jump(uc)
+        chains = [uc for uc in chains if len(uc.qpos)]
         if not chains:
             st.unaligned = True
             continue
