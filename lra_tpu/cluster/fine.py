@@ -112,9 +112,28 @@ def store_fine_clusters(match_idx, qpos, tpos, anchorfreq, opts: Options,
         c.set_boundaries()
         return c
 
+    def chrom_parts(c: Cluster) -> list:
+        """The cluster, split at chromosome boundaries of the concatenated
+        coordinate space.  A junction-contiguous read forms ONE diagonal
+        run across two chromosomes; the reference drops such clusters
+        whole (Clustering.h CHROMIndex) — splitting keeps both sides."""
+        if c.single_chrom(genome):
+            return [c]
+        ci = np.searchsorted(genome.ends, c.tpos, side="right")
+        ce = np.searchsorted(genome.ends, c.tpos + c.k - 1, side="right")
+        parts = []
+        for u in np.unique(ci):
+            rows = (ci == u) & (ce == u)   # drop junction-crossing anchors
+            if not rows.any():
+                continue
+            p = Cluster(c.qpos[rows].copy(), c.tpos[rows].copy(), c.strand,
+                        c.k, c.anchorfreq, coarse=coarse_id)
+            p.set_boundaries()
+            if p.single_chrom(genome):
+                parts.append(p)
+        return parts
+
     def checks_pass(c: Cluster, min_size=None) -> bool:
-        if not c.single_chrom(genome):
-            return False
         if min_size is not None and len(c) <= min_size:
             return False
         if c.qEnd == c.qStart:
@@ -122,9 +141,7 @@ def store_fine_clusters(match_idx, qpos, tpos, anchorfreq, opts: Options,
         return True
 
     if abs(anchorfreq - 1.0) <= 0.005:
-        c = emit(np.arange(n), 1.0)
-        if c.single_chrom(genome):
-            clusters.append(c)
+        clusters.extend(chrom_parts(emit(np.arange(n), 1.0)))
         return clusters
 
     # group by read position (match_num / pos_start)
@@ -243,20 +260,19 @@ def store_fine_clusters(match_idx, qpos, tpos, anchorfreq, opts: Options,
                         rows.append(si)
                         prev_match = si
 
-    c = emit(np.array(rows, dtype=np.int64), anchorfreq)
-    if checks_pass(c, min_size=opts.min_cluster_size) and \
-       (c.tEnd - c.tStart) < 5 * (c.qEnd - c.qStart):
-        clusters.append(c)
+    for c in chrom_parts(emit(np.array(rows, dtype=np.int64), anchorfreq)):
+        if checks_pass(c, min_size=opts.min_cluster_size) and \
+           (c.tEnd - c.tStart) < 5 * (c.qEnd - c.qStart):
+            clusters.append(c)
 
     # leftover stretches of >= 15 groups become their own clusters
     for ar in range(S):
         if not added[ar] and End[ar] - Start[ar] >= 15:
             lo = int(pos_start[Start[ar]])
             hi = int(pos_start[End[ar] - 1]) + 1
-            c = emit(np.arange(lo, hi), anchorfreq)
-            if c.single_chrom(genome) and \
-               (c.tEnd - c.tStart) // max(1, c.qEnd - c.qStart) < 5:
-                clusters.append(c)
+            for c in chrom_parts(emit(np.arange(lo, hi), anchorfreq)):
+                if (c.tEnd - c.tStart) // max(1, c.qEnd - c.qStart) < 5:
+                    clusters.append(c)
     return clusters
 
 
