@@ -29,6 +29,7 @@ from ..ops.gapcost import GapParams
 from ..ops.sdp import chain_scores_np
 from ..ops.sdp_blocked import chain_scores_blocked
 from ..options import Options
+from ..utils import pow2_at_least as _pow2
 
 _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
@@ -68,13 +69,6 @@ class ChainProblem:
     V: np.ndarray | None = None
     bp: np.ndarray | None = None
     lane: np.ndarray | None = None
-
-
-def _pow2(n: int, lo: int = 1) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
 
 
 def solve_problems(problems: list, gp: GapParams, use_device: bool = True):

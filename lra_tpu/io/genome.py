@@ -33,7 +33,9 @@ class Genome:
         return int(self.ends[-1]) if len(self.ends) else 0
 
     def starts(self) -> np.ndarray:
-        return np.concatenate([[0], self.ends[:-1]])
+        if getattr(self, "_starts", None) is None:
+            self._starts = np.concatenate([[0], self.ends[:-1]])
+        return self._starts
 
     def chrom_of(self, gpos) -> np.ndarray:
         """Global position(s) -> chromosome index (reference: Genome.h Header::Find)."""

@@ -173,6 +173,8 @@ def banded_global_traced_packed(q, t, qlen, tlen, K, m, mm, indel,
     """banded_global_traced with the op plane packed 2 bits/op on device
     (LEFT/DOWN/DIAG = 1/2/3, terminator 0) — a 4x smaller d2h transfer on
     a link with ~12MB/s effective bandwidth."""
+    assert (q.shape[1] + t.shape[1]) % 4 == 0, \
+        "packed traceback requires Q+T to be a multiple of 4"
     ops = banded_global_traced(q, t, qlen, tlen, K, m, mm, indel, kband)
     o = jnp.where(ops < 0, 0, ops).astype(jnp.uint8)
     return (o[:, 0::4] | (o[:, 1::4] << 2) | (o[:, 2::4] << 4)

@@ -19,17 +19,11 @@ from ..ops.affine_kernel import (banded_global_np,
                                  blocks_from_ops_batch, traceback_banded,
                                  unpack_ops)
 from ..options import Options
+from ..utils import pow2_at_least as _pow2_at_least
 
 # coarse on purpose: every (K, S) class is a separate device dispatch +
 # download, and on the tunneled TPU a download has a ~28ms latency floor
 _SIZE_BUCKETS = (64, 512, 2048)
-
-
-def _pow2_at_least(n: int, lo: int = 16) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
 
 
 def _size_bucket(n: int) -> int:

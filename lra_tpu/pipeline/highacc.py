@@ -344,10 +344,17 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
             for ch in chains:
                 keep_i = [i for i, ci in enumerate(ch.ch)
                           if len(local_clusters[ci])]
+                # link between surviving neighbors = XOR of the dropped
+                # intermediate edges (an even number of strand flips
+                # composes to none)
+                new_link = []
+                for a, b in zip(keep_i, keep_i[1:]):
+                    flip = False
+                    for e in range(a, min(b, len(ch.link))):
+                        flip ^= bool(ch.link[e])
+                    new_link.append(flip)
                 ch.ch = [ch.ch[i] for i in keep_i]
-                ch.link = np.array(
-                    [ch.link[i] for i in keep_i[:-1] if i < len(ch.link)],
-                    bool)
+                ch.link = np.array(new_link, bool)
 
         # phase A: enumerate the refine boxes of every chain; the small
         # boxes of the whole batch align in one device round below.
