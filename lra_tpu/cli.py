@@ -61,6 +61,8 @@ def _parser(align: bool) -> argparse.ArgumentParser:
                        help="re-emit input BAM/SAM tags on output records")
         p.add_argument("--timing", default="",
                        help="write per-stage timing report to this file")
+        p.add_argument("--timeRead", action="store_true",
+                       help="RT:i tag: amortized per-read runtime (ms)")
         p.add_argument("-d", "--dotplot", default="",
                        help="dump per-stage dots for --readname into this dir")
         p.add_argument("--readname", default="")
@@ -147,6 +149,7 @@ def cmd_align(argv) -> int:
     opts.passthrough_tag = args.passthrough
     opts.print_md = args.printMD
     opts.show_mismatch = not args.noMismatch
+    opts.time_read = args.timeRead
     _apply_overrides(opts, args)
     if args.cpu:
         import jax

@@ -109,6 +109,7 @@ class Options:
     show_mismatch: bool = True        # '=' /'X' CIGAR ops vs 'M'
     print_md: bool = False
     passthrough_tag: bool = False
+    time_read: bool = False           # RT:i per-read runtime tag (ms)
     max_p: int = 2000
 
     # --- TPU batching / sharding (new; no reference analog) ---

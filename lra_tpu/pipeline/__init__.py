@@ -20,6 +20,9 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
 
     reads: iterable of (name, seq) where seq is str/bytes/uint8-codes.
     """
+    import time as _time
+
+    t_batch0 = _time.perf_counter()
     prepared = []
     passthrough = {}
     for item in reads:
@@ -32,10 +35,19 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
     if opts.bypass_clustering:
         from .lowacc import map_batch_lowacc
         states = map_batch_lowacc(prepared, genome, index, opts, use_device,
-                                  genome_li)
+                                  genome_li, dots)
     else:
         states = map_batch(prepared, genome, index, opts, use_device,
                            genome_li, timing, dots)
+    if opts.time_read and prepared:
+        # batched execution has no per-read wall clock; RT:i reports the
+        # amortized per-read share of the batch (reference: --timeRead,
+        # Map_highacc.h:774-780 measures per read on the CPU)
+        ms = int(1000 * (_time.perf_counter() - t_batch0) / len(prepared))
+        for st in states:
+            for group in st.groups:
+                for seg in group.segments:
+                    seg.runtime = ms
     lines = []
     for st in states:
         if st.unaligned or not st.groups:

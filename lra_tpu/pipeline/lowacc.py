@@ -293,7 +293,7 @@ def split_chain_typed(uc: UChain, ext_clusters, genome, opts: Options):
 
 def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                      opts: Options, use_device: bool = True,
-                     genome_li=None) -> list:
+                     genome_li=None, dots=None) -> list:
     gp = from_options(opts)
     states = [ReadState(n, c, q) for (n, c, q) in reads]
     starts = genome.starts()
@@ -303,6 +303,11 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
     per_state = []
     for st in states:
         fwd, rev = find_matches(st.codes, index, opts)
+        dd = dots.get(st.name) if dots else None
+        if dd:
+            dd.dump("all-matches", np.concatenate([fwd.qpos, rev.qpos]),
+                    np.concatenate([fwd.tpos, rev.tpos]),
+                    np.full(len(fwd) + len(rev), index.k))
         if len(fwd) == 0 and len(rev) == 0:
             st.unaligned = True
             per_state.append(None)
@@ -357,6 +362,10 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
         for uc in chains:
             remove_spurious_jump(uc)
         chains = [uc for uc in chains if len(uc.qpos)]
+        dd = dots.get(st.name) if dots else None
+        if dd:
+            for uc in chains:
+                dd.dump("Chains", uc.qpos, uc.tpos, uc.length)
         if not chains:
             st.unaligned = True
             continue
