@@ -110,6 +110,11 @@ class Options:
     print_md: bool = False
     passthrough_tag: bool = False
     time_read: bool = False           # RT:i per-read runtime tag (ms)
+    # Fused Pallas banded kernel (ops/affine_pallas.py): bit-identical
+    # output; in isolation 30-80x faster than the XLA path on TPU, but
+    # on the tunneled dev chip multi-program dispatch makes it a net
+    # loss end to end, so it is opt-in (-x use_pallas=true).
+    use_pallas: bool = False
     max_p: int = 2000
 
     # --- TPU batching / sharding (new; no reference analog) ---

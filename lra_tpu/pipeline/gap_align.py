@@ -18,8 +18,22 @@ from ..ops.affine_kernel import (banded_global_np,
                                  banded_global_traced_packed,
                                  blocks_from_ops_batch, traceback_banded,
                                  unpack_ops)
+from ..ops.affine_pallas import (banded_pallas_rowsync,
+                                 blocks_from_rowsync, pallas_supported)
 from ..options import Options
 from ..utils import pow2_at_least as _pow2_at_least
+
+_PALLAS_OK: list = [None]
+
+
+def _pallas_ok() -> bool:
+    """Mosaic availability probe, cached (False on CPU/interpret-only
+    platforms so tests and --cpu runs use the XLA path)."""
+    if _PALLAS_OK[0] is None:
+        import jax
+
+        _PALLAS_OK[0] = jax.default_backend() == "tpu"
+    return _PALLAS_OK[0]
 
 # coarse on purpose: every (K, S) class is a separate device dispatch +
 # download, and on the tunneled TPU a download has a ~28ms latency floor
@@ -108,13 +122,24 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             tlen[b] = len(job.t)
             kband[b] = kb
         if use_device:
-            # async dispatch: traceback runs on device; only the compact
-            # [B, 2S] op plane comes back
-            ops = banded_global_traced_packed(
-                place(q), place(t), place(qlen), place(tlen), K,
-                opts.local_match, opts.local_mismatch, opts.local_indel,
-                kband=place(kband))
-            pending.append((None, items, qlen, tlen, ops))
+            # async dispatch: traceback runs on device; only a compact
+            # plane comes back.  The Pallas kernel (fused DP +
+            # row-synchronous traceback, ops/affine_pallas.py) handles the
+            # narrow band tier; wide tiers use the XLA path.
+            use_pallas = (opts.use_pallas and _pallas_ok()
+                          and pallas_supported(S, K, B))
+            if use_pallas:
+                P = banded_pallas_rowsync(
+                    place(q), place(t), place(qlen), place(tlen), K,
+                    opts.local_match, opts.local_mismatch,
+                    opts.local_indel, kband=place(kband))
+                pending.append(("rowsync", items, qlen, tlen, (P, S)))
+            else:
+                ops = banded_global_traced_packed(
+                    place(q), place(t), place(qlen), place(tlen), K,
+                    opts.local_match, opts.local_mismatch,
+                    opts.local_indel, kband=place(kband))
+                pending.append((None, items, qlen, tlen, ops))
         else:
             _score, arrows = banded_global_np(
                 q, t, qlen, tlen, K, opts.local_match, opts.local_mismatch,
@@ -125,9 +150,16 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
     for K, items, qlen, tlen, buf in pending:
         if K is None:
             buf.copy_to_host_async()
+        elif K == "rowsync":
+            buf[0].copy_to_host_async()
     for K, items, qlen, tlen, buf in pending:
         if K is None:
             blocks = blocks_from_ops_batch(unpack_ops(np.asarray(buf)))
+            for b, (job, kb) in enumerate(items):
+                job.blocks = blocks[b]
+        elif K == "rowsync":
+            P, S = buf
+            blocks = blocks_from_rowsync(np.asarray(P), qlen, tlen, S)
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
         else:

@@ -109,3 +109,38 @@ def test_device_traceback_matches_host(rng):
         ref_blocks, _ = traceback_banded(arrows[b], qlen[b], tlen[b], K)
         got = blocks_from_ops_row(ops[b])
         assert got == ref_blocks, (b, got, ref_blocks)
+
+
+def test_pallas_rowsync_matches_xla():
+    """The fused Pallas banded kernel must produce the same blocks as
+    the XLA traced path (runs on real TPU only: Mosaic interpret mode is
+    too slow for CI; the TPU run is exercised by bench/driver rounds)."""
+    import jax
+    import pytest
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas kernel equivalence needs a TPU")
+    from lra_tpu.ops.affine_kernel import (banded_global_traced_packed,
+                                           blocks_from_ops_batch,
+                                           unpack_ops)
+    from lra_tpu.ops.affine_pallas import (banded_pallas_rowsync,
+                                           blocks_from_rowsync)
+
+    rng2 = np.random.default_rng(9)
+    B, S, K = 8, 64, 15
+    t = rng2.integers(0, 4, (B, S)).astype(np.int8)
+    q = t.copy()
+    for b in range(B):
+        for _ in range(int(rng2.integers(0, 6))):
+            p = int(rng2.integers(0, S))
+            q[b, p] = (q[b, p] + 1) % 4
+    qlen = rng2.integers(S // 2, S + 1, B).astype(np.int32)
+    tlen = np.clip(qlen + rng2.integers(-6, 6, B), 8, S).astype(np.int32)
+    kb = np.maximum(np.full(B, 30, np.int32),
+                    np.abs(qlen - tlen) + 1)
+    args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+            jnp.asarray(tlen), K, M, MM, IND, jnp.asarray(kb))
+    ref = blocks_from_ops_batch(unpack_ops(np.asarray(
+        banded_global_traced_packed(*args))))
+    P = np.asarray(banded_pallas_rowsync(*args))
+    got = blocks_from_rowsync(P, qlen, tlen, S)
+    assert got == ref
