@@ -104,7 +104,7 @@ class Options:
 
     # --- output (Options.h:27-29,120-122) ---
     read_type: ReadType = ReadType.ONT
-    print_format: str = "s"           # s=SAM p=pairwise a=PAF b=BED
+    print_format: str = "s"           # s=SAM p/pc=PAF a=pairwise b=BED
     hard_clip: bool = False
     show_mismatch: bool = True        # '=' /'X' CIGAR ops vs 'M'
     print_md: bool = False

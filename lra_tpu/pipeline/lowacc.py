@@ -462,10 +462,11 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
             class _Ch:   # minimal chain info for _assemble_segments
                 num_anchors = uc.num_anchors
                 value = uc.value
+            n_before = len(group.segments)
             _assemble_segments(st, _Ch, ac, [ec], genome, opts, group,
                                gap_jobs, si, len(st.groups), gp)
-            for seg in group.segments:
-                if ty == "I":
+            if ty == "I":
+                for seg in group.segments[n_before:]:
                     seg.typeofaln = 3
         if group.segments:
             # first segment of the group is the representative
