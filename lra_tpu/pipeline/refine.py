@@ -426,8 +426,51 @@ def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
                     refine_btwn_space(cur, genome, chrom_codes, read_codes,
                                       read_rc, opts, K, W, qs, qe, ts1, te1,
                                       False, rev_clusters)
-        # strand-discordant neighbor spaces (two_blocks) deferred with
-        # inversion insertion machinery
+        else:
+            # INV boundary: reseed the q gap on BOTH strands (two-block
+            # boxes), extending cur on its strand and prev on its —
+            # this is what grows a partially-seeded inversion segment to
+            # its true breakpoints (reference: Refine_Btwnsplitchain INV
+            # case, ChainRefine.h:615-641, boxes appended via
+            # RefineBtwnSpace with twoblocks=1)
+            gapq = qe - qs
+            if cur.tEnd <= prev.tStart:
+                if cur.strand == 0:
+                    ts1, te1 = cur.tEnd, cur.tEnd + gapq
+                    ts2, te2 = prev.tEnd, prev.tEnd + gapq
+                else:
+                    te1 = cur.tStart
+                    ts1 = max(0, te1 - gapq)
+                    te2 = prev.tStart
+                    ts2 = max(0, te2 - gapq)
+            elif cur.tStart > prev.tEnd:
+                if cur.strand == 0:
+                    ts1, te1 = cur.tEnd, cur.tEnd + gapq
+                    te2 = cur.tStart
+                    ts2 = max(0, te2 - gapq)
+                else:
+                    te1 = cur.tStart
+                    ts1 = max(0, te1 - gapq)
+                    te2 = prev.tStart
+                    ts2 = max(0, te2 - gapq)
+            else:
+                continue
+            chrom_len = len(chrom_codes)
+            for (tsx, tex, target) in ((ts1, te1, cur), (ts2, te2, prev)):
+                if tex <= tsx or tex >= chrom_len:
+                    continue
+                space = max(gapq, tex - tsx)
+                if not (20 <= space <= opts.refine_space_dist):
+                    continue
+                if box_tasks is not None:
+                    enqueue_btwn_box(box_tasks, target, chrom_codes,
+                                     read_codes, read_rc, K, W, qs, qe,
+                                     tsx, tex, True, rev_clusters)
+                else:
+                    refine_btwn_space(target, genome, chrom_codes,
+                                      read_codes, read_rc, opts, K, W,
+                                      qs, qe, tsx, tex, True,
+                                      rev_clusters)
     # read-end spaces (reference: ClusterRefine.h:560-615)
     for end_right in (True, False):
         cc = chain_clusters[0] if end_right else chain_clusters[-1]

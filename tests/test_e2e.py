@@ -275,3 +275,20 @@ def test_contig_preset_svs(world):
     cig = seg.stats.cigar
     assert re.search(r"500D", cig), cig[:200]
     assert re.search(r"300I", cig), cig[:200]
+
+
+def test_inversion_breakpoint_recovery(world):
+    """The two-block INV boundary reseed must recover the inversion to
+    (near) its true breakpoints, not just its seeded core."""
+    rng, g, opts, idx = world
+    start = 20000
+    span = np.array(g.codes[start:start + 12000])
+    mid = sequtils.revcomp(span[5000:7500])
+    read = np.concatenate([span[:5000], mid, span[7500:]])
+    states, _ = align_reads([("invbp", read)], g, idx, opts,
+                            use_device=False)
+    st = states[0]
+    assert not st.unaligned
+    cov = sum(sg.tEnd - sg.tStart
+              for gr in st.groups for sg in gr.segments if sg.strand == 1)
+    assert cov >= 2300, cov
