@@ -49,3 +49,52 @@ def test_mapping_accuracy(genome, pre, n, ln, err, min_ok):
         if abs(pos - tr.chrom_pos) <= 100 and tr.strand in strands:
             ok += 1
     assert ok >= min_ok * n, f"{pre}: {ok}/{n} correct"
+
+
+def test_repeat_rich_genome_accuracy():
+    """Repeat-rich genome (LINE/SINE-like interspersed repeats + tandem
+    satellite arrays): placement must stay correct — exercises the
+    frequency caps, per-window thinning, and anchorfreq machinery that a
+    uniform random genome never touches."""
+    from lra_tpu.sim import mutate
+
+    rng = np.random.default_rng(33)
+    parts = []
+    line_elem = random_genome(rng, 6000)
+    alu_elem = random_genome(rng, 300)
+    tandem_unit = random_genome(rng, 171)
+    total = 0
+    while total < 400_000:
+        u = random_genome(rng, int(rng.integers(2000, 20000)))
+        parts.append(u)
+        total += len(u)
+        r = rng.random()
+        if r < 0.35:
+            e = mutate(rng, line_elem if rng.random() < 0.3 else alu_elem,
+                       snp=0.1)
+            parts.append(e)
+            total += len(e)
+        elif r < 0.45:
+            n = int(rng.integers(5, 40))
+            t = np.concatenate([mutate(rng, tandem_unit, snp=0.03)
+                                for _ in range(n)])
+            parts.append(t)
+            total += len(t)
+    g = Genome.from_seqs([("chr1", np.concatenate(parts))])
+    opts = preset("ccs")
+    idx = build_global_index(g, opts)
+    reads, truth = [], []
+    for i in range(16):
+        r = sample_read(rng, g.codes, 6000, snp=0.003, ins=0.001,
+                        dele=0.001)
+        reads.append((f"r{i}", r.codes))
+        truth.append(r)
+    states, _ = align_reads(reads, g, idx, opts, use_device=True)
+    ok = 0
+    for st, tr in zip(states, truth):
+        if st.unaligned or not st.groups:
+            continue
+        pos = min(sg.tStart for sg in st.groups[0].segments)
+        if abs(pos - tr.chrom_pos) <= 200:
+            ok += 1
+    assert ok >= 15, ok
