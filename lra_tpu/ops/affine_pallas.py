@@ -213,8 +213,13 @@ def _call(q, t, qlen2, tlen2, kband2, S, K, m, mm, indel,
 
 
 def pallas_supported(S: int, K: int, B: int) -> bool:
-    """Square buckets, band within one lane tile, 6-bit run lengths."""
-    return 2 * K + 1 <= 63 and S % 8 == 0 and B % 8 == 0
+    """Square buckets, band within one lane tile, 6-bit run lengths, and
+    exact grid tiling (grid=(B//BT, S//R) floors silently otherwise)."""
+    if not (2 * K + 1 <= 63 and S % 8 == 0):
+        return False
+    BT = min(_tile_rows(S, 128), B)
+    R = min(S, 64)
+    return B % BT == 0 and S % R == 0
 
 
 def banded_pallas_rowsync(q, t, qlen, tlen, K, m, mm, indel, kband=None,

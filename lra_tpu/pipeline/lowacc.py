@@ -386,18 +386,29 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                 c.set_boundaries()
                 seg_clusters.append((c, ty))
             # local-index reseeding per segment (Refine_splitchain)
+            rev_cls: list = []
             if genome_li is not None:
+                if getattr(st, "_read_li", None) is None:
+                    from ..index.local_index import build_local_index
+                    st._read_li = [
+                        build_local_index(st.codes, genome_li.k,
+                                          genome_li.w, genome_li.window,
+                                          opts.local_max_freq),
+                        build_local_index(st.rc, genome_li.k,
+                                          genome_li.w, genome_li.window,
+                                          opts.local_max_freq)]
                 cls = [c for c, _ in seg_clusters]
                 refined = refine_clusters(cls, genome, genome_li,
-                                          st.codes, st.rc, opts)
+                                          st.codes, st.rc, opts,
+                                          read_li=st._read_li)
                 seg_clusters = [
                     (r if len(r) else c, ty)
                     for r, (c, ty) in zip(refined, seg_clusters)]
-                refine_btwn_clusters_chain([c for c, _ in seg_clusters],
-                                           genome, st.codes, st.rc, opts,
-                                           genome_li.k, genome_li.w,
-                                           box_tasks=box_tasks)
-            work.append((si, uc, seg_clusters))
+                rev_cls = refine_btwn_clusters_chain(
+                    [c for c, _ in seg_clusters], genome, st.codes,
+                    st.rc, opts, genome_li.k, genome_li.w,
+                    box_tasks=box_tasks) or []
+            work.append((si, uc, seg_clusters, rev_cls))
 
     # ---- device: batched refine-box alignment ----
     from .refine import solve_box_tasks
@@ -406,8 +417,18 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
     # extension + SDP-2' per segment
     from .highacc import ExtCluster, _make_sdp2_problem
     jobs2 = []
-    for (si, uc, seg_clusters) in work:
+    for (si, uc, seg_clusters, rev_cls) in work:
         st = states[si]
+        # insert inversion clusters captured by the reverse-strand box
+        # retries (filled during solve_box_tasks), typed 'I', in chain
+        # order (end-first: descending qStart)
+        for rc_ in rev_cls:
+            if len(rc_.qpos) == 0:
+                continue
+            pos = 0
+            while pos < len(seg_clusters) and                     seg_clusters[pos][0].qStart > rc_.qStart:
+                pos += 1
+            seg_clusters.insert(pos, (rc_, "I"))
         seg_exts = []
         for (c, ty) in seg_clusters:
             if c.lengths is not None:

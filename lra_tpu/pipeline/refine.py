@@ -28,16 +28,18 @@ def _swap_strand(qpos: np.ndarray, read_len: int, K: int) -> np.ndarray:
 
 def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
                     read_codes: np.ndarray, read_rc: np.ndarray,
-                    opts: Options, window: int = 100) -> list:
+                    opts: Options, window: int = 100,
+                    read_li=None) -> list:
     """Reseed each cluster with local-index matches inside its diagonal
     band.  Returns new clusters (k = genome_li.k anchors, chrom-local t).
     Input clusters must already be chrom-local."""
     read_len = len(read_codes)
     k = genome_li.k
-    read_li = [build_local_index(read_codes, k, genome_li.w,
-                                 genome_li.window, opts.local_max_freq),
-               build_local_index(read_rc, k, genome_li.w,
-                                 genome_li.window, opts.local_max_freq)]
+    if read_li is None:
+        read_li = [build_local_index(read_codes, k, genome_li.w,
+                                     genome_li.window, opts.local_max_freq),
+                   build_local_index(read_rc, k, genome_li.w,
+                                     genome_li.window, opts.local_max_freq)]
     starts = genome.starts()
     refined = []
     for c in clusters:
@@ -51,7 +53,11 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
         q = c.qpos.copy()
         t = c.tpos.copy()          # chrom-local
         if c.strand == 1:
-            q = _swap_strand(q, read_len, c.k)
+            if c.lengths is not None:
+                # variable-length extended anchors: flip per anchor
+                q = read_len - (q + c.lengths)
+            else:
+                q = _swap_strand(q, read_len, c.k)
         # diagonal band (reference: ClusterRefine.h:89-97)
         d = t - q
         max_dn = int(d.max()) + 100
@@ -237,12 +243,23 @@ class BoxTask:
         self.job = None
 
 
+def _reseedable(cluster: Cluster, K: int) -> bool:
+    """Seeds of width K can only append to a cluster holding K-width
+    anchors (an unrefined low-acc cluster keeps its global-k anchors and
+    a per-anchor lengths array; appending would desync them)."""
+    return cluster.lengths is None and (len(cluster.qpos) == 0
+                                        or cluster.k == K)
+
+
 def enqueue_btwn_box(tasks: list, cluster: Cluster, chrom_codes,
                      read_codes, read_rc, K: int, W: int,
                      qs: int, qe: int, ts: int, te: int,
                      two_blocks: bool, rev_out: list) -> None:
     """Deferred refine_btwn_space: capture the box (q flipped to the
-    cluster's strand frame, as refine_btwn_space does inline)."""
+    cluster's strand frame, as refine_btwn_space does inline).  Boxes
+    whose target cannot accept K-width seeds are dropped."""
+    if not _reseedable(cluster, K):
+        return
     read_len = len(read_codes)
     if cluster.strand == 1:
         qs, qe = read_len - qe, read_len - qs
@@ -336,6 +353,8 @@ def refine_btwn_space(cluster: Cluster, genome, chrom_codes, read_codes,
     when forward is too sparse (reference: RefineBtwnSpace,
     ClusterRefine.h:332-433).  q coords in forward-read frame.  Returns
     True when a reverse (inversion) cluster was emitted."""
+    if not _reseedable(cluster, K):
+        return False
     read_len = len(read_codes)
     st = cluster.strand
     if st == 1:
