@@ -107,13 +107,23 @@ def build_global_index(genome: Genome, opts: Options) -> GlobalIndex:
     # global_winsize genome window.
     surv = np.nonzero(keep)[0]
     if len(surv):
+        from .. import native
+
         sfreq = freq[surv]
-        # (freq asc, index desc): stable argsort of the reversed array
-        o = np.argsort(sfreq[::-1], kind="stable")
+        # (freq asc, index desc): stable argsort of the reversed array;
+        # freq values are small ints, so the native counting sort applies
+        rev = np.ascontiguousarray(sfreq[::-1], np.int32)
+        o = native.counting_argsort_i32(rev) if native.available() else None
+        if o is None:
+            o = np.argsort(rev, kind="stable")
         ranked = surv[len(surv) - 1 - o]
         win = pos[ranked] // opts.global_winsize
         # rank of each element within its window, in `ranked` order
-        worder = np.argsort(win, kind="stable")
+        win32 = win.astype(np.int32)
+        worder = (native.counting_argsort_i32(win32, 1 << 29)
+                  if native.available() else None)
+        if worder is None:
+            worder = np.argsort(win, kind="stable")
         wsorted = win[worder]
         wstart = np.concatenate([[True], wsorted[1:] != wsorted[:-1]])
         grp = np.cumsum(wstart) - 1

@@ -65,6 +65,9 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.lrn_counting_argsort_i32.restype = ctypes.c_int
+    lib.lrn_counting_argsort_i32.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
     lib.lrn_local_index_build.restype = ctypes.c_int64
     lib.lrn_local_index_build.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,
@@ -240,3 +243,19 @@ def local_reseed(genome_li, rli, ls: int, le: int, chrom_off: int,
         if cnt >= 0:
             return oq[:cnt].copy(), ot[:cnt].copy()
         cap *= 4
+
+
+def counting_argsort_i32(keys: np.ndarray, max_range: int = 1 << 20):
+    """Stable counting argsort for small-range int32 keys; None if the
+    native lib is unavailable or the range is too wide."""
+    lib = _load()
+    if not lib:
+        return None
+    keys = np.ascontiguousarray(keys, np.int32)
+    out = np.empty(len(keys), np.int64)
+    rc = lib.lrn_counting_argsort_i32(
+        keys.ctypes.data_as(ctypes.c_void_p), len(keys), max_range,
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out

@@ -233,6 +233,28 @@ int64_t lrn_minimizers(const uint8_t* codes, int64_t len, int k, int w,
   return count;
 }
 
+// Stable counting argsort for small-range int32 keys (frequency ranks in
+// the per-window thinning, MMIndex.h:358-376).  Falls back to -1 if the
+// range exceeds `max_range` so the caller can use numpy.
+int lrn_counting_argsort_i32(const int32_t* keys, int64_t n,
+                             int32_t max_range, int64_t* out_idx) {
+  if (n <= 0) return 0;
+  int32_t lo = keys[0], hi = keys[0];
+  for (int64_t i = 1; i < n; i++) {
+    if (keys[i] < lo) lo = keys[i];
+    if (keys[i] > hi) hi = keys[i];
+  }
+  const int64_t range = static_cast<int64_t>(hi) - lo + 1;
+  if (range > max_range) return -1;
+  std::vector<int64_t> cnt(range + 1, 0);
+  for (int64_t i = 0; i < n; i++) cnt[keys[i] - lo]++;
+  int64_t pos = 0;
+  std::vector<int64_t> off(range, 0);
+  for (int64_t b = 0; b < range; b++) { off[b] = pos; pos += cnt[b]; }
+  for (int64_t i = 0; i < n; i++) out_idx[off[keys[i] - lo]++] = i;
+  return 0;
+}
+
 // Local index build: per `window`-sized slice of `codes`, non-canonical
 // minimizers sorted by (tuple, pos) with per-window frequency cap
 // count < max_freq (index/local_index.py:build_local_index; reference:
