@@ -299,21 +299,29 @@ def _queue_box_job(tk: BoxTask, strand: int, qs: int, qe: int, jobs: list):
 
 def solve_box_tasks(tasks: list, opts: Options,
                     use_device: bool = True) -> None:
-    """Two batched device rounds with refine_btwn_space semantics:
-    round 1 aligns every box on its own strand; boxes that came back too
-    sparse retry on the reverse strand in round 2 (inversion capture);
-    then seeds are appended to their clusters."""
+    """One batched device round with refine_btwn_space semantics: every
+    box aligns on its own strand AND (speculatively) on the reverse
+    strand in the same round — the reverse alignment is only consulted
+    when the forward seeds come back too sparse (inversion capture), but
+    aligning it up front trades cheap device compute for a whole
+    dispatch+download round trip."""
     from .gap_align import solve_gap_jobs
 
     jobs = []
+    spec = []
     for tk in tasks:
         tk.job = _queue_box_job(tk, tk.cluster.strand, tk.qs, tk.qe, jobs)
+        rjob = None
+        qs2 = qe2 = 0
+        if not tk.two_blocks:
+            read_len = len(tk.read_codes)
+            rst = 1 - tk.cluster.strand
+            qs2, qe2 = read_len - tk.qe, read_len - tk.qs
+            rjob = _queue_box_job(tk, rst, qs2, qe2, jobs)
+        spec.append((rjob, qs2, qe2))
     solve_gap_jobs(jobs, opts, use_device)
 
-    # round 1 results; collect reverse retries
-    rev_jobs = []
-    retry = []
-    for tk in tasks:
+    for tk, (rjob, qs2, qe2) in zip(tasks, spec):
         st = tk.cluster.strand
         read_len = len(tk.read_codes)
         qp, tp = _box_seeds(tk, opts, st, tk.qs, tk.qe, tk.job)
@@ -324,15 +332,6 @@ def solve_box_tasks(tasks: list, opts: Options,
         if tk.two_blocks:
             continue
         rst = 1 - st
-        qs2, qe2 = read_len - tk.qe, read_len - tk.qs
-        rjob = _queue_box_job(tk, rst, qs2, qe2, rev_jobs)
-        retry.append((tk, qp, tp, eff, rjob, qs2, qe2))
-    solve_gap_jobs(rev_jobs, opts, use_device)
-
-    for (tk, qp, tp, eff, rjob, qs2, qe2) in retry:
-        st = tk.cluster.strand
-        rst = 1 - st
-        read_len = len(tk.read_codes)
         qp2, tp2 = _box_seeds(tk, opts, rst, qs2, qe2, rjob)
         reff = len(qp2) / max(1, min(qe2 - qs2, tk.te - tk.ts))
         if eff >= reff:
