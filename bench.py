@@ -3,20 +3,44 @@
 Simulates an E. coli-scale genome + CCS-like reads, builds the index,
 aligns with the device (TPU) pipeline, and reports reads/s.
 
-vs_baseline: ratio against the same pipeline with all device kernels
-replaced by their sequential host (numpy) implementations on this
-machine's CPU — a self-measured stand-in while the reference C++ binary
-cannot be built here (requires htslib; zero-egress image).  The reference
-publishes no numeric baseline (BASELINE.md).
+vs_baseline: ratio against the REFERENCE lra binary (ChaissonLab/lra
+v1.3.7.1), compiled from /root/reference with the clean-room htslib
+stubs in tools/htslib_stub (FASTA path; no htslib in the image) and run
+single-threaded on this host with the same genome/reads/preset.  Falls
+back to the host-numpy pipeline ratio if the reference cannot be built.
 """
 
 import json
+import os
+import subprocess
 import time
 
 import numpy as np
 
+REF_BIN = "/tmp/lra_ref_bench/lra"
+REF_SRC = "/root/reference/lra.cpp"
 
-def run(n_reads=256, read_len=8000, genome_len=2_000_000, device=True):
+
+def build_reference():
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    if not os.path.exists(REF_SRC):
+        return None
+    os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+    stub = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "htslib_stub")
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++14", "-DNDEBUG", "-I", stub,
+             REF_SRC, "-o", REF_BIN, "-lz", "-lpthread"],
+            check=True, capture_output=True, timeout=420)
+    except Exception:
+        return None
+    return REF_BIN if os.path.exists(REF_BIN) else None
+
+
+def run(n_reads=256, read_len=8000, genome_len=2_000_000, device=True,
+        materialize=None):
     from lra_tpu import preset
     from lra_tpu.index.global_index import build_global_index
     from lra_tpu.io.genome import Genome
@@ -33,6 +57,14 @@ def run(n_reads=256, read_len=8000, genome_len=2_000_000, device=True):
                         dele=0.001)
         reads.append((f"r{i}", r.codes))
 
+    if materialize:
+        from lra_tpu import seq as sequtils
+        with open(os.path.join(materialize, "ref.fa"), "w") as f:
+            f.write(">chr1\n" + sequtils.decode(genome.codes) + "\n")
+        with open(os.path.join(materialize, "reads.fa"), "w") as f:
+            for name, codes in reads:
+                f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
+
     # warm-up with identical shapes (compiles cache persistently)
     align_reads(reads, genome, idx, opts, use_device=device)
     best = None
@@ -47,16 +79,53 @@ def run(n_reads=256, read_len=8000, genome_len=2_000_000, device=True):
     return n_reads / best, mapped, best
 
 
+def run_reference(workdir, n_reads):
+    ref = build_reference()
+    if ref is None:
+        return None
+    try:
+        subprocess.run([ref, "index", "-CCS", "ref.fa"], cwd=workdir,
+                       check=True, capture_output=True, timeout=300)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            out = subprocess.run(
+                [ref, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1",
+                 "-p", "s"],
+                cwd=workdir, capture_output=True, timeout=600)
+            dt = time.time() - t0
+            if out.returncode != 0:
+                return None
+            if best is None or dt < best:
+                best = dt
+        return n_reads / best
+    except Exception:
+        return None
+
+
 def main():
+    import tempfile
+
     from lra_tpu import enable_compile_cache
     enable_compile_cache()
-    reads_per_s, mapped, dt = run(device=True)
-    host_rps, _, _ = run(n_reads=256, device=False)
+    workdir = tempfile.mkdtemp(prefix="lra_bench_")
+    reads_per_s, mapped, dt = run(device=True, materialize=workdir)
+    ref_rps = run_reference(workdir, 256)
+    if ref_rps:
+        baseline = reads_per_s / ref_rps
+        unit = ("reads/s (8kb CCS-like, 2Mb genome, 1 chip, batch 256; "
+                f"baseline = reference lra -t 1 on this host at "
+                f"{ref_rps:.1f} reads/s)")
+    else:
+        host_rps, _, _ = run(n_reads=256, device=False)
+        baseline = reads_per_s / host_rps if host_rps else 0.0
+        unit = ("reads/s (8kb CCS-like, 2Mb genome, 1 chip, batch 256; "
+                "baseline = host-numpy pipeline)")
     print(json.dumps({
         "metric": "ccs_reads_per_s_e2e",
         "value": round(reads_per_s, 3),
-        "unit": "reads/s (8kb CCS-like, 2Mb genome, 1 chip, batch 256)",
-        "vs_baseline": round(reads_per_s / host_rps, 3) if host_rps else 0.0,
+        "unit": unit,
+        "vs_baseline": round(baseline, 3),
     }))
 
 

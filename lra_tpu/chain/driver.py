@@ -123,10 +123,18 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
             place(qS), place(qE), place(tS), place(tE), place(sc),
             place(l1), place(l2), place(valid), key)
         pending.append((plist, packed))
-    for _, packed in pending:
-        packed.copy_to_host_async()
-    for plist, packed in pending:
-        packed = np.asarray(packed)
+    # one flat d2h transfer for all buckets (latency floor per transfer)
+    merged = None
+    if pending:
+        flats = [pk.reshape(-1) for _, pk in pending]
+        merged = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+        merged.copy_to_host_async()
+        merged = np.asarray(merged)
+    off = 0
+    for plist, pk in pending:
+        size = pk.size
+        packed = merged[off:off + size].reshape(pk.shape)
+        off += size
         V = packed[0].view(np.float32)
         bp, lane = packed[1], packed[2]
         for b, p in enumerate(plist):

@@ -146,23 +146,40 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
                 opts.local_indel, kband)
             pending.append((K, items, qlen, tlen, arrows))
 
-    # start all d2h copies before blocking on any
+    # merge every packed plane into ONE flat device buffer so the round
+    # costs a single d2h transfer (~28ms latency floor each on the
+    # tunnel), then start the copy before blocking
+    flat_parts = [buf.reshape(-1) for K, _, _, _, buf in pending
+                  if K is None]
+    flat_parts += [buf[0].reshape(-1) for K, _, _, _, buf in pending
+                   if K == "rowsync"]
+    merged = None
+    if flat_parts:
+        merged = flat_parts[0] if len(flat_parts) == 1 else \
+            jnp.concatenate(flat_parts)
+        merged.copy_to_host_async()
+        merged = np.asarray(merged)
+    off = 0
     for K, items, qlen, tlen, buf in pending:
+        if K == "rowsync":
+            continue
         if K is None:
-            buf.copy_to_host_async()
-        elif K == "rowsync":
-            buf[0].copy_to_host_async()
-    for K, items, qlen, tlen, buf in pending:
-        if K is None:
-            blocks = blocks_from_ops_batch(unpack_ops(np.asarray(buf)))
-            for b, (job, kb) in enumerate(items):
-                job.blocks = blocks[b]
-        elif K == "rowsync":
-            P, S = buf
-            blocks = blocks_from_rowsync(np.asarray(P), qlen, tlen, S)
+            size = buf.size
+            plane = merged[off:off + size].reshape(buf.shape)
+            off += size
+            blocks = blocks_from_ops_batch(unpack_ops(plane))
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
         else:
             for b, (job, kb) in enumerate(items):
                 blocks, _ = traceback_banded(buf[b], qlen[b], tlen[b], K)
                 job.blocks = blocks
+    for K, items, qlen, tlen, buf in pending:
+        if K == "rowsync":
+            P, S = buf
+            size = P.size
+            plane = merged[off:off + size].reshape(P.shape)
+            off += size
+            blocks = blocks_from_rowsync(plane, qlen, tlen, S)
+            for b, (job, kb) in enumerate(items):
+                job.blocks = blocks[b]
