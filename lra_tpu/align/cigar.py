@@ -67,17 +67,22 @@ def _runs_eq(a: np.ndarray, b: np.ndarray):
     return out
 
 
-def blocks_to_ops(blocks, read: np.ndarray, chrom: np.ndarray,
-                  show_mismatch: bool = True):
+_OP_CHARS = np.array(["=", "X", "I", "D"])
+_OP_CHARS_M = np.array(["M", "X", "I", "D"])
+
+
+def blocks_to_op_arrays(blocks, read: np.ndarray, chrom: np.ndarray,
+                        show_mismatch: bool = True):
     """blocks: [(q, t, len)] ascending, q in strand frame.
-    Returns merged op run list [(op_char, len)].
+    Returns (codes uint8, lens int64) merged op runs with codes
+    0 = match ('='/'M'), 1 = 'X', 2 = 'I', 3 = 'D'.
 
     Vectorized: all aligned spans (blocks + inter-block commonGap spans,
     Alignment.h:292-330) are compared in one gather, runs found with one
-    diff, and only the short run list is assembled in Python."""
+    diff, and the gap/run interleave assembled by scatter."""
     nb = len(blocks)
     if nb == 0:
-        return []
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
     q = np.fromiter((b[0] for b in blocks), np.int64, nb)
     t = np.fromiter((b[1] for b in blocks), np.int64, nb)
     ln = np.fromiter((b[2] for b in blocks), np.int64, nb)
@@ -114,28 +119,78 @@ def blocks_to_ops(blocks, read: np.ndarray, chrom: np.ndarray,
     rval = eq[rs]
     rspan = sidx[rs]
 
-    ops: list = []
-
-    def push(op, n):
-        if n <= 0:
-            return
-        if ops and ops[-1][0] == op:
-            ops[-1][1] += n
-        else:
-            ops.append([op, n])
-
-    match_op = "=" if show_mismatch else "M"
-    ri = 0
+    # vectorized interleave of match/mismatch runs with the I/D gap runs
+    # (gaps precede each odd span), then adjacent-equal merge
     nr = len(rs)
-    for s in range(ns):
-        if s % 2 == 1:
-            g = (s - 1) // 2
-            push("I", int(qx[g]))
-            push("D", int(tx[g]))
-        while ri < nr and rspan[ri] == s:
-            push(match_op if rval[ri] else "X", int(rlen[ri]))
-            ri += 1
-    return [(op, n) for op, n in ops]
+    ngap = nb - 1
+    run_pos = np.arange(nr) + 2 * ((rspan + 1) // 2)
+    gi = np.arange(ngap)
+    i_before = np.searchsorted(rspan, 2 * gi, side="right")
+    pos_i = i_before + 2 * gi
+    total_e = nr + 2 * ngap
+    codes = np.empty(total_e, np.uint8)
+    lens = np.empty(total_e, np.int64)
+    codes[run_pos] = np.where(rval, 0, 1)        # 0 match, 1 X
+    lens[run_pos] = rlen
+    if ngap:
+        codes[pos_i] = 2                          # I
+        lens[pos_i] = qx
+        codes[pos_i + 1] = 3                      # D
+        lens[pos_i + 1] = tx
+    keep = lens > 0
+    c2, l2 = codes[keep], lens[keep]
+    if len(c2) == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    newgrp = np.concatenate(([True], c2[1:] != c2[:-1]))
+    gstart = np.nonzero(newgrp)[0]
+    return c2[gstart], np.add.reduceat(l2, gstart)
+
+
+def blocks_to_ops(blocks, read: np.ndarray, chrom: np.ndarray,
+                  show_mismatch: bool = True):
+    """List-of-(op_char, len) view of blocks_to_op_arrays."""
+    codes, lens = blocks_to_op_arrays(blocks, read, chrom, show_mismatch)
+    chars = _OP_CHARS if show_mismatch else _OP_CHARS_M
+    return list(zip(chars[codes].tolist(), lens.tolist()))
+
+
+def score_op_arrays(codes: np.ndarray, lens: np.ndarray,
+                    show_mismatch: bool = True) -> AlnStats:
+    """Vectorized CIGAR string + stats + NV from op-run arrays."""
+    st = AlnStats()
+    is_m = codes == 0
+    is_x = codes == 1
+    is_i = codes == 2
+    is_d = codes == 3
+    st.nm = int(lens[is_m].sum())
+    st.nmm = int(lens[is_x].sum())
+    D = lens[is_d]
+    I = lens[is_i]
+    st.ndel = len(D)
+    st.tdel = int(D.sum())
+    st.nins = len(I)
+    st.tins = int(I.sum())
+    st.n_small_del = int((D <= 10).sum())
+    st.n_med_del = int(((D > 10) & (D < 50)).sum())
+    st.n_large_del = int((D > 50).sum())
+    st.n_small_ins = int((I <= 10).sum()) + int((I <= 20).sum())
+    st.n_med_ins = int(((I > 10) & (I < 50)).sum())
+    st.n_large_ins = int((I > 50).sum())
+    val = float(lens[is_m].sum()) - float(lens[is_x].sum())
+    g = np.concatenate([D, I])
+    if len(g):
+        idx = np.clip((g - 1) // 5, 0, len(_LOG_TABLE) - 1)
+        gv = np.where(
+            g <= 20, -g.astype(np.float64),
+            np.where(g <= 10001, -3.0 * _LOG_TABLE[idx] - 1.0,
+                     np.where(g <= 100001, -1000.0, -2000.0)))
+        val += float(gv.sum())
+    st.value = val
+    chars = _OP_CHARS if show_mismatch else _OP_CHARS_M
+    cl = chars[codes]
+    st.cigar = "".join(f"{n}{c}" for n, c in zip(lens.tolist(),
+                                                 cl.tolist()))
+    return st
 
 
 def score_ops(ops, read=None, chrom=None, blocks=None) -> AlnStats:

@@ -561,12 +561,20 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
                 chrom_codes = genome.codes[
                     starts_g[seg.chrom]:genome.ends[seg.chrom]]
                 read = st.rc if seg.strand == 1 else st.codes
-                ops = blocks_to_ops(seg.blocks, read, chrom_codes,
-                                    opts.show_mismatch)
-                seg.stats = score_ops(ops)
+                from ..align.cigar import blocks_to_op_arrays, \
+                    score_op_arrays
+                codes_a, lens_a = blocks_to_op_arrays(
+                    seg.blocks, read, chrom_codes, opts.show_mismatch)
+                seg.stats = score_op_arrays(codes_a, lens_a,
+                                            opts.show_mismatch)
                 seg.value = seg.stats.value
                 if opts.print_md and seg.blocks:
-                    from ..align.cigar import ops_to_md
+                    from ..align.cigar import _OP_CHARS, _OP_CHARS_M, \
+                        ops_to_md
+                    chars = (_OP_CHARS if opts.show_mismatch
+                             else _OP_CHARS_M)
+                    ops = list(zip(chars[codes_a].tolist(),
+                                   lens_a.tolist()))
                     seg.md = ops_to_md(ops, read, chrom_codes,
                                        seg.blocks[0][0], seg.blocks[0][1])
             # inversion typing: +,-,+ / -,+,- strand patterns with
