@@ -68,7 +68,7 @@ def run(n_reads=256, read_len=8000, genome_len=2_000_000, device=True,
     # warm-up with identical shapes (compiles cache persistently)
     align_reads(reads, genome, idx, opts, use_device=device)
     best = None
-    for _ in range(3 if device else 1):
+    for _ in range(5 if device else 1):
         t0 = time.time()
         states, lines = align_reads(reads, genome, idx, opts,
                                     use_device=device)

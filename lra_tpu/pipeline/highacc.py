@@ -16,11 +16,15 @@ cores run as batched device kernels:
 Refinement tier: when a genome local index is supplied and the read is
 sparse (or the preset is not HighlyAccurate), clusters are reseeded from
 the two-tier local index (pipeline/refine.py); gaps between chain
-clusters and the read ends are reseeded via RefineBtwnSpace semantics.
-Big inter-anchor gaps (>=300bp both sides) are reseeded and chained with
-the forward-only 3rd SDP (pipeline/big_gap.py); remaining round-1 gap:
-inversion-cluster insertion from RevBtwnCluster/in-gap inversions opens
-no supplementary segment yet (detection is wired, splitting is not).
+clusters and the read ends are reseeded via RefineBtwnSpace semantics
+(batched: all boxes of the batch align in one device round, with
+speculative reverse-strand boxes for inversion capture); strand-
+discordant boundaries get two-block INV reseeds that grow inversion
+segments to their breakpoints.  Captured reverse clusters insert into
+the chain and emit typed supplementary segments via SPLITChain; big
+inter-anchor gaps (>=300bp both sides) are reseeded and chained with
+the forward-only 3rd SDP (pipeline/big_gap.py), with in-gap inversions
+breaking the alignment into a supplementary segment.
 """
 
 from __future__ import annotations
