@@ -24,11 +24,10 @@ the sane orientation (ndel = # D runs) — NM/MM tags are symmetric in them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..options import Options
 
 _LOG_TABLE = np.log(np.arange(1, 10002, 5).astype(np.float64)).astype(np.float32)
 

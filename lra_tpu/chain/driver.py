@@ -21,7 +21,7 @@ dispatch overhead dominates below ~64 fragments).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -9,7 +9,7 @@ band = min(2*drift+1, local_band), scores local_match/mismatch/indel).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

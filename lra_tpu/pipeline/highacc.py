@@ -34,7 +34,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .. import seq as sequtils
-from ..align.cigar import blocks_to_ops, score_ops
 from ..align.extend import (linear_extend_cluster, merge_same_diag,
                             trim_overlapped_anchors)
 from ..align.mapq import set_mapq

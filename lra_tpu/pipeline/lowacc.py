@@ -18,7 +18,7 @@ batched over reads:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -26,7 +26,7 @@ from .. import seq as sequtils
 from ..align.extend import (linear_extend_cluster, merge_same_diag,
                             trim_overlapped_anchors)
 from ..align.segment import SegGroup
-from ..chain.cleaners import (AnchorChain, remove_paired_indels,
+from ..chain.cleaners import (remove_paired_indels,
                               remove_spurious_anchors)
 from ..chain.driver import ChainProblem, best_chain, solve_problems
 from ..cluster.fine import clean_matches_to_clusters
