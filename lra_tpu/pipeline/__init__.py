@@ -35,7 +35,7 @@ def align_reads(reads, genome: Genome, index: GlobalIndex, opts: Options,
     if opts.bypass_clustering:
         from .lowacc import map_batch_lowacc
         states = map_batch_lowacc(prepared, genome, index, opts, use_device,
-                                  genome_li, dots)
+                                  genome_li, dots, timing)
     else:
         states = map_batch(prepared, genome, index, opts, use_device,
                            genome_li, timing, dots)

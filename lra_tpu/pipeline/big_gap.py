@@ -12,17 +12,27 @@ The reverse-strand re-seed ("inversion in a gap") check is also ported:
 when forward seeding is too sparse and identity < 0.8, the reverse strand
 is tried; if it wins, the caller receives inversion=True and splits the
 segment (reference: LocalRefineAlignment.h:292-352).
+
+TPU batching: the seeding/extension is host work, but the chaining runs
+on device — ``prepare_big_gap`` builds one forward-lane ChainProblem per
+gap during the assembly walk, ``resolve_big_gaps`` solves every gap of
+the batch in a single bucketed device round (chain/driver.solve_problems)
+and splices the chained mid-anchors + sub-gap jobs back into the
+segments.  The reference runs its forward-only SDP per gap inside the
+per-read walk; here the 3rd SDP is one more batched device stage.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from ..align.extend import linear_extend_cluster, trim_overlapped_anchors
 from ..chain.cleaners import AnchorChain, remove_paired_indels
+from ..chain.driver import ChainProblem, solve_problems
 from ..cluster.types import Cluster
 from ..ops.gapcost import GapParams
-from ..ops.sdp import chain_scores_np, traceback
 from ..options import Options, ReadType
 from .refine import refine_space
 
@@ -45,17 +55,38 @@ def _space_diag(opts: Options, read_dist: int, sv_diag: int) -> int:
     return max(2 * sv_diag, d)
 
 
-def close_big_gap(read_strand: np.ndarray, chrom: np.ndarray,
-                  opts: Options, gp: GapParams,
-                  q0: int, q1: int, t0: int, t1: int,
-                  prev_len: int, next_len: int,
-                  rc_strand: np.ndarray | None = None):
-    """Gap between anchor ends (q0,t0) and next starts (q1,t1), all in
-    the segment's strand frame / chrom-local.
+@dataclass
+class BigGapTask:
+    """One prepared big-gap chaining problem plus the context needed to
+    splice its solved mid-anchors back into the owning segment."""
+    problem: ChainProblem
+    q: np.ndarray            # sorted anchors incl. flanking pseudo-anchors
+    t: np.ndarray
+    ln: np.ndarray
+    q0: int
+    q1: int
+    t0: int
+    t1: int
+    prev_len: int
+    # splice context (set by the assembly walk)
+    seg: object = None
+    key3: tuple = None       # (si, gi, zi)
+    prev_q_end: int = 0
+    prev_t_end: int = 0
+    next_q: int = 0
+    next_t: int = 0
+    read: np.ndarray = None
+    chrom: np.ndarray = None
 
-    Returns (anchors, inversion_detected):
-    anchors = [(q, t, len)] ascending, possibly empty.
-    """
+
+def prepare_big_gap(read_strand: np.ndarray, chrom: np.ndarray,
+                    opts: Options, q0: int, q1: int, t0: int, t1: int,
+                    prev_len: int, next_len: int,
+                    rc_strand: np.ndarray | None = None):
+    """Seed + extend the gap box (host) and build the forward-only
+    chaining problem.  Returns (task | None, inversion_detected):
+    inversion means the caller must break the segment; None with no
+    inversion means the gap falls through to plain banded alignment."""
     read_dist = q1 - q0
     genome_dist = t1 - t0
     max_dist = max(read_dist, genome_dist)
@@ -66,7 +97,6 @@ def close_big_gap(read_strand: np.ndarray, chrom: np.ndarray,
     qp, tp, identity = refine_space(k, w, band, None, chrom, read_strand,
                                     opts, q0, q1, t0, t1)
     min_dist = min(read_dist, genome_dist)
-    inversion = False
     if (len(qp) / max(1, min_dist)) < min_ratio and 0 <= identity < 0.8 \
             and rc_strand is not None:
         # try the reverse strand over the flipped read window
@@ -75,10 +105,9 @@ def close_big_gap(read_strand: np.ndarray, chrom: np.ndarray,
         qp2, tp2, _ = refine_space(k, w, band, None, chrom, rc_strand,
                                    opts, q0r, q1r, t0, t1)
         if len(qp2) > len(qp):
-            inversion = True
-            return [], True     # caller handles segment split / typing
+            return None, True   # caller handles segment split / typing
     if len(qp) == 0:
-        return [], False
+        return None, False
 
     # linear extension of the seeds (forward frame)
     c = Cluster(qp, tp, 0, k, 1.0, 0)
@@ -87,32 +116,48 @@ def close_big_gap(read_strand: np.ndarray, chrom: np.ndarray,
     keep = (ln > 0) & (q >= q0) & (q + ln <= q1) & (t >= t0) & (t + ln <= t1)
     q, t, ln = q[keep], t[keep], ln[keep]
     if len(q) == 0:
-        return [], False
+        return None, False
 
     # add flanking pseudo-anchors so chaining is anchored at both ends
     # (reference: LocalRefineAlignment.h:364-377)
-    q = np.concatenate([[q0 - prev_len], q, [q1]])
-    t = np.concatenate([[t0 - prev_len], t, [t1]])
-    ln = np.concatenate([[prev_len], ln, [next_len]])
-
+    q = np.concatenate([[q0 - prev_len], q, [q1]]).astype(np.int64)
+    t = np.concatenate([[t0 - prev_len], t, [t1]]).astype(np.int64)
+    ln = np.concatenate([[prev_len], ln, [next_len]]).astype(np.int64)
     order = np.argsort(q, kind="stable")
     q, t, ln = q[order], t[order], ln[order]
-    lane1 = np.ones(len(q), bool)
-    lane2 = np.zeros(len(q), bool)   # forward-only (3rd SDP)
-    valid = np.ones(len(q), bool)
-    V, bp, lane = chain_scores_np(q, q + ln, t, t + ln,
-                                  (ln * 2.0).astype(np.float32),
-                                  lane1, lane2, valid, gp)
-    chain, _ = traceback(V, bp, lane, valid)
-    if len(chain) == 0:
-        return [], False
-    rows = sorted(int(i) for i in chain)
-    out = []
+
+    n = len(q)
+    tbase = int(t.min())
+    p = ChainProblem(q, q + ln, t - tbase, t + ln - tbase,
+                     (ln * 2.0).astype(np.float32),
+                     np.ones(n, bool), np.zeros(n, bool),   # forward-only
+                     np.arange(n, dtype=np.int64), tbase)
+    return BigGapTask(p, q, t, ln, q0, q1, t0, t1, prev_len), False
+
+
+def finish_big_gap(task: BigGapTask) -> list:
+    """Traceback the solved problem, clean, drop the flanking
+    pseudo-anchors; returns [(q, t, len)] ascending."""
+    p = task.problem
+    if p.V is None or len(p.V) == 0:
+        return []
+    i = int(np.argmax(p.V))
+    if not np.isfinite(p.V[i]) or p.V[i] <= 0:
+        return []
+    rows = []
+    while i >= 0:
+        rows.append(i)
+        i = int(p.bp[i])
+    rows = sorted(rows)
+    q, t, ln = task.q, task.t, task.ln
     ac = AnchorChain(q[rows][::-1].copy(), t[rows][::-1].copy(),
                      ln[rows][::-1].copy(),
                      np.zeros(len(rows), np.uint8),
                      np.zeros(len(rows), np.int64))
     remove_paired_indels(ac, refine_ends=False)
+    out = []
+    q0, q1, t0, t1, prev_len = task.q0, task.q1, task.t0, task.t1, \
+        task.prev_len
     for i in range(len(ac) - 1, -1, -1):
         bq, bt, bl = int(ac.qpos[i]), int(ac.tpos[i]), int(ac.length[i])
         # drop the flanking pseudo-anchors
@@ -121,4 +166,34 @@ def close_big_gap(read_strand: np.ndarray, chrom: np.ndarray,
             continue
         out.append((bq, bt, bl))
     out.sort()
-    return out, False
+    return out
+
+
+def resolve_big_gaps(tasks: list, gap_jobs: list, gp: GapParams,
+                     use_device: bool = True) -> None:
+    """One batched device round for every big gap of the batch (the 3rd
+    SDP, reference: SparseDP_Forward.h:312), then splice the chained
+    mid-anchors into the owning segments and queue the residual sub-gaps
+    for the banded aligner."""
+    from .gap_align import GapJob
+
+    if not tasks:
+        return
+    solve_problems([t.problem for t in tasks], gp, use_device)
+    for task in tasks:
+        mids = finish_big_gap(task)
+        pq, pt = task.prev_q_end, task.prev_t_end
+        si, gi, zi = task.key3
+        for (mq, mt, ml) in mids:
+            if mq < pq or mt < pt:
+                continue
+            if pq < mq and pt < mt:
+                gap_jobs.append(GapJob(task.read[pq:mq].copy(),
+                                       task.chrom[pt:mt].copy(),
+                                       (si, gi, zi, pq, pt)))
+            task.seg.blocks.append((mq, mt, ml))
+            pq, pt = mq + ml, mt + ml
+        if task.next_q > pq and task.next_t > pt:
+            gap_jobs.append(GapJob(task.read[pq:task.next_q].copy(),
+                                   task.chrom[pt:task.next_t].copy(),
+                                   (si, gi, zi, pq, pt)))

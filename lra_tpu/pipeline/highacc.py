@@ -224,21 +224,42 @@ def _make_sdp2_problem(ext_clusters: list, bonus: float, indices=None):
 
 def _expand_chain(chain_frag_ids, backref, ext_clusters):
     """Merged-group chain -> original-anchor chain, end-first order
-    (reference: SwitchToOriginalAnchors, LocalRefineAlignment.h:188-200)."""
-    q, t, ln, st, cl = [], [], [], [], []
-    for f in chain_frag_ids:           # already end-first
-        ci, gi = backref[f]
-        ec = ext_clusters[ci]
-        s, e = int(ec.g_start[gi]), int(ec.g_end[gi])
-        for j in range(e - 1, s - 1, -1):
-            q.append(int(ec.qpos[j]))
-            t.append(int(ec.tpos[j]))
-            ln.append(int(ec.lengths[j]))
-            st.append(ec.strand)
-            cl.append(ci)
-    return AnchorChain(np.array(q, np.int64), np.array(t, np.int64),
-                       np.array(ln, np.int64), np.array(st, np.uint8),
-                       np.array(cl, np.int64))
+    (reference: SwitchToOriginalAnchors, LocalRefineAlignment.h:188-200).
+
+    Vectorized: the chain's (cluster, group) pairs expand to per-anchor
+    gathers against the concatenated cluster arrays — each group's anchor
+    slice [s, e) is emitted reversed via a repeat/cumsum index build."""
+    if not chain_frag_ids:
+        return AnchorChain(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                           np.zeros(0, np.int64), np.zeros(0, np.uint8),
+                           np.zeros(0, np.int64))
+    f = np.asarray(chain_frag_ids, np.int64)     # already end-first
+    br = np.asarray(backref, np.int64)           # [n_groups, 2] (ci, gi)
+    ci, gi = br[f, 0], br[f, 1]
+    counts = np.fromiter((len(ec.qpos) for ec in ext_clusters),
+                         np.int64, len(ext_clusters))
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    s = np.fromiter((ext_clusters[c].g_start[g]
+                     for c, g in zip(ci, gi)), np.int64, len(f))
+    e = np.fromiter((ext_clusters[c].g_end[g]
+                     for c, g in zip(ci, gi)), np.int64, len(f))
+    lens = e - s
+    total = int(lens.sum())
+    grp_off = np.repeat(np.cumsum(lens) - lens, lens)
+    pos = np.arange(total, dtype=np.int64) - grp_off
+    j = np.repeat(e - 1 + offs[ci], lens) - pos  # reversed within group
+    allq = np.concatenate([ec.qpos for ec in ext_clusters]) \
+        if len(ext_clusters) > 1 else ext_clusters[0].qpos
+    allt = np.concatenate([ec.tpos for ec in ext_clusters]) \
+        if len(ext_clusters) > 1 else ext_clusters[0].tpos
+    alll = np.concatenate([ec.lengths for ec in ext_clusters]) \
+        if len(ext_clusters) > 1 else ext_clusters[0].lengths
+    strands = np.fromiter((ec.strand for ec in ext_clusters),
+                          np.int64, len(ext_clusters))
+    return AnchorChain(allq[j].astype(np.int64), allt[j].astype(np.int64),
+                       alll[j].astype(np.int64),
+                       np.repeat(strands[ci], lens).astype(np.uint8),
+                       np.repeat(ci, lens))
 
 
 def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
@@ -449,6 +470,7 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
 
     # ---- host: final chains -> segments + gap jobs ----
     gap_jobs = []
+    big_gap_tasks = []
     for si, st in enumerate(states):
         if st.unaligned:
             continue
@@ -471,12 +493,18 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
                     continue
                 ac.second_sdp_value = float(np.max(p.V))
                 _assemble_segments(st, ch, ac, exts, genome, opts, group,
-                                   gap_jobs, si, len(st.groups), gp)
+                                   gap_jobs, si, len(st.groups), gp,
+                                   big_gap_tasks)
             if group.segments:
                 st.groups.append(group)
 
     if timing:
         timing.tick("chain+assemble")
+    # ---- device: 3rd SDP over all big gaps of the batch ----
+    from .big_gap import resolve_big_gaps
+    resolve_big_gaps(big_gap_tasks, gap_jobs, gp, use_device)
+    if timing:
+        timing.tick("SDP-3 (device)")
     # ---- device: gap alignment + host finalize ----
     finalize_batch(states, gap_jobs, genome, opts, use_device, timing)
     if dots:
@@ -610,7 +638,7 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
 
 def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                        group: SegGroup, gap_jobs: list, si: int, gi: int,
-                       gp=None):
+                       gp=None, big_gap_tasks: list | None = None):
     """Walk the cleaned anchor chain, split by strand, emit anchor blocks,
     and queue gap jobs.  Anchors arrive end-first (descending q)."""
     n = len(ac)
@@ -663,13 +691,15 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                         continue
                 rgap = bq - prev_q_end
                 tgap = bt - prev_t_end
+                deferred = False
                 if (opts.refine_by_sdp and min(rgap, tgap) >= 300
                         and gp is not None):
-                    # big gap: reseed + forward-only 3rd SDP
+                    # big gap: reseed now (host), defer the forward-only
+                    # 3rd SDP to one batched device round
                     # (reference: LocalRefineAlignment.h:236-390)
-                    from .big_gap import close_big_gap
-                    mids, inv = close_big_gap(
-                        read, chrom_codes, opts, gp,
+                    from .big_gap import prepare_big_gap
+                    task, inv = prepare_big_gap(
+                        read, chrom_codes, opts,
                         prev_q_end, bq, prev_t_end, bt,
                         seg.blocks[-1][2], bl,
                         rc_strand=(st.codes if strand == 1 else st.rc))
@@ -689,20 +719,16 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                         prev_q_end = bq + bl
                         prev_t_end = bt + bl
                         continue
-                    for (mq, mt, ml) in mids:
-                        if mq < prev_q_end or mt < prev_t_end:
-                            continue
-                        if prev_q_end < mq and prev_t_end < mt:
-                            gap_jobs.append(GapJob(
-                                read[prev_q_end:mq].copy(),
-                                chrom_codes[prev_t_end:mt].copy(),
-                                (si, gi, zi, prev_q_end, prev_t_end)))
-                        seg.blocks.append((mq, mt, ml))
-                        prev_q_end = mq + ml
-                        prev_t_end = mt + ml
-                    rgap = bq - prev_q_end
-                    tgap = bt - prev_t_end
-                if rgap > 0 and tgap > 0:
+                    if task is not None and big_gap_tasks is not None:
+                        task.seg = seg
+                        task.key3 = (si, gi, zi)
+                        task.prev_q_end = prev_q_end
+                        task.prev_t_end = prev_t_end
+                        task.next_q, task.next_t = bq, bt
+                        task.read, task.chrom = read, chrom_codes
+                        big_gap_tasks.append(task)
+                        deferred = True
+                if not deferred and rgap > 0 and tgap > 0:
                     gap_jobs.append(GapJob(
                         read[prev_q_end:bq].copy(),
                         chrom_codes[prev_t_end:bt].copy(),
@@ -718,12 +744,12 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
 def _insert_gap_blocks(seg: Segment, jobs: list) -> None:
     """Splice solved gap blocks (relative coords) into the segment's block
     list and restore (q, t) order."""
-    if jobs:
-        for job in jobs:
-            q_off, t_off = job.key[3], job.key[4]
-            for (bq, bt, bl) in job.blocks or []:
-                seg.blocks.append((q_off + bq, t_off + bt, bl))
-        seg.blocks.sort(key=lambda b: (b[0], b[1]))
+    for job in jobs:
+        q_off, t_off = job.key[3], job.key[4]
+        for (bq, bt, bl) in job.blocks or []:
+            seg.blocks.append((q_off + bq, t_off + bt, bl))
+    # always sort: deferred big-gap mid blocks append out of walk order
+    seg.blocks.sort(key=lambda b: (b[0], b[1]))
     # defensive monotonicity: drop blocks breaking q/t order
     out = []
     pq = pt = -1

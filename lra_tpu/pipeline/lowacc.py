@@ -17,7 +17,6 @@ batched over reads:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -96,10 +95,21 @@ def remove_spurious_jump(uc: UChain) -> None:
         uc.cluster = uc.cluster[keep]
 
 
+@dataclass
+class AnchorArrays:
+    """Concatenated per-anchor arrays in original (pre-sort) order, so
+    chain rows map back to anchors by plain fancy indexing."""
+    q: np.ndarray
+    t: np.ndarray
+    ln: np.ndarray
+    s: np.ndarray
+    cluster: np.ndarray
+
+
 def _make_sdp1b_problem(ext_clusters: list, rate: float):
     """All extended anchors, strand lane + both lanes at cluster-boundary
     anchors (reference: SparseDP.h:2157-2166)."""
-    qS, qE, tS, tE, sc, l1, l2, cl = [], [], [], [], [], [], [], []
+    qS, qE, tS, tE, sc, l1, l2, cl, sa = [], [], [], [], [], [], [], [], []
     for ci, ec in enumerate(ext_clusters):
         n = len(ec.qpos)
         if n == 0:
@@ -123,6 +133,7 @@ def _make_sdp1b_problem(ext_clusters: list, rate: float):
             l2.append(np.ones(n, bool))
         sc.append(ln.astype(np.float32) * rate)
         cl.append(np.full(n, ci, np.int64))
+        sa.append(np.full(n, ec.strand, np.int64))
     if not qS:
         return None, None
     qS = np.concatenate(qS).astype(np.int64)
@@ -133,15 +144,16 @@ def _make_sdp1b_problem(ext_clusters: list, rate: float):
     l1 = np.concatenate(l1)
     l2 = np.concatenate(l2)
     cl = np.concatenate(cl)
+    anchors = AnchorArrays(qS, tS, qE - qS, np.concatenate(sa), cl)
     order = np.argsort(qS, kind="stable")
     tbase = int(tS.min())
     p = ChainProblem(qS[order], qE[order], tS[order] - tbase,
                      tE[order] - tbase, sc[order], l1[order], l2[order],
                      order, tbase)
-    return p, cl
+    return p, anchors
 
 
-def _decide_chains_1b(p: ChainProblem, ext_clusters, anchor_cluster,
+def _decide_chains_1b(p: ChainProblem, anchors: AnchorArrays,
                       opts: Options, read_len: int) -> list:
     """reference: DecidePrimaryChains for pure matches
     (SparseDP.h:1658-1760)."""
@@ -188,39 +200,18 @@ def _decide_chains_1b(p: ChainProblem, ext_clusters, anchor_cluster,
                     ov = min(a.TEnd, t_hi) - max(a.TStart, t_lo)
                     overlaps = ov > 0.05 * max(1, a.TEnd - a.TStart)
                 if not chains or overlaps:
-                    # reconstruct anchor arrays via sorted-row -> anchor map
+                    # sorted rows -> original anchor ids -> plain gathers
                     ids = np.array(orig, np.int64)
                     uc = UChain(
-                        _gather(ext_clusters, anchor_cluster, ids, "q"),
-                        _gather(ext_clusters, anchor_cluster, ids, "t"),
-                        _gather(ext_clusters, anchor_cluster, ids, "l"),
-                        _gather(ext_clusters, anchor_cluster, ids, "s"),
-                        anchor_cluster[ids],
+                        anchors.q[ids].copy(), anchors.t[ids].copy(),
+                        anchors.ln[ids].copy(), anchors.s[ids].copy(),
+                        anchors.cluster[ids].copy(),
                         float(p.V[d]), len(rows), t_lo, t_hi)
                     chains.append(uc)
             else:
                 break
         fv += 1
     return chains
-
-
-def _gather(ext_clusters, anchor_cluster, ids, what):
-    out = np.zeros(len(ids), np.int64)
-    # anchors were concatenated in cluster order; recover per-cluster offset
-    offsets = np.cumsum([0] + [len(ec.qpos) for ec in ext_clusters])
-    for i, gid in enumerate(ids):
-        ci = int(anchor_cluster[gid])
-        j = int(gid - offsets[ci])
-        ec = ext_clusters[ci]
-        if what == "q":
-            out[i] = ec.qpos[j]
-        elif what == "t":
-            out[i] = ec.tpos[j]
-        elif what == "l":
-            out[i] = ec.lengths[j]
-        else:
-            out[i] = ec.strand
-    return out
 
 
 @dataclass
@@ -238,43 +229,38 @@ def split_chain_typed(uc: UChain, ext_clusters, genome, opts: Options):
     + MergeSplitchainINS + RemoveSpuriousSplitChain, Map_lowacc.h:38-67).
     Anchors are end-first.  Returns list of (rows, type_char)."""
     n = len(uc.qpos)
-    q, t, ln, s = uc.qpos, uc.tpos, uc.length, uc.strand
-    segs = []
-    cur_rows = [0]
-    types = []
+    q = uc.qpos.astype(np.int64)
+    t = uc.tpos.astype(np.int64)
+    ln = uc.length.astype(np.int64)
+    s = uc.strand.astype(np.int64)
+    # vectorized per-adjacent-pair break typing (prev=im, cur=im+1)
+    qp, qc = q[:-1], q[1:]
+    tp, tc = t[:-1], t[1:]
+    lp, lc = ln[:-1], ln[1:]
+    sp, sc_ = s[:-1], s[1:]
+    qdist = qp - (qc + lc)
+    tdist = np.abs(tp - (tc + lc))
+    dist = np.minimum(np.maximum(qdist, 0), tdist)
+    diag = np.where(s == 0, t - q, q + t + ln)
+    is_n = ((sc_ == sp) & (dist >= 1000)
+            & (np.abs(diag[1:] - diag[:-1])
+               <= np.ceil(0.15 * dist).astype(np.int64)))
+    is_t = ((tc > tp + lp + opts.split_dist)
+            | (tc + lc + opts.split_dist < tp))
+    is_i = sc_ != sp
+    ty = np.where(is_n, 0, np.where(is_t, 1, np.where(is_i, 2, -1)))
+    breaks = np.flatnonzero(ty >= 0)
+    bounds = np.concatenate([[0], breaks + 1, [n]])
+    segs = [list(range(bounds[k], bounds[k + 1]))
+            for k in range(len(bounds) - 1)]
+    types = ["NTI"[ty[b]] for b in breaks] + ["N"]
 
-    def diag(i):
-        return (t[i] - q[i]) if s[i] == 0 else (q[i] + t[i] + ln[i])
-
-    for im in range(n - 1):
-        prev, cur = im, im + 1
-        qdist = int(q[prev] - (q[cur] + ln[cur]))
-        tdist = int(abs(t[prev] - (t[cur] + ln[cur])))
-        dist = min(max(qdist, 0), tdist)
-        new_type = None
-        if (s[cur] == s[prev] and dist >= 1000
-                and abs(int(diag(cur)) - int(diag(prev)))
-                <= math.ceil(0.15 * dist)):
-            new_type = "N"     # missing TRA/INV
-        elif (t[cur] > t[prev] + ln[prev] + opts.split_dist
-              or t[cur] + ln[cur] + opts.split_dist < t[prev]):
-            new_type = "T"
-        elif s[cur] != s[prev]:
-            new_type = "I"
-        if new_type is not None:
-            segs.append(cur_rows)
-            types.append(new_type)
-            cur_rows = [cur]
-        else:
-            cur_rows.append(cur)
-    segs.append(cur_rows)
-    types.append("N")
-
-    # chrom check per segment
+    # chrom check per segment (rows are contiguous slices)
     out = []
-    for rows, ty in zip(segs, types):
-        tlo = min(int(t[r]) for r in rows)
-        thi = max(int(t[r] + ln[r]) for r in rows)
+    for k, (rows, ty) in enumerate(zip(segs, types)):
+        lo, hi = bounds[k], bounds[k + 1]
+        tlo = int(t[lo:hi].min())
+        thi = int((t[lo:hi] + ln[lo:hi]).max())
         if int(genome.chrom_of(tlo + 1)) == int(genome.chrom_of(thi)):
             out.append((rows, ty))
     # RemoveSpuriousSplitChain
@@ -293,10 +279,12 @@ def split_chain_typed(uc: UChain, ext_clusters, genome, opts: Options):
 
 def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                      opts: Options, use_device: bool = True,
-                     genome_li=None, dots=None) -> list:
+                     genome_li=None, dots=None, timing=None) -> list:
     gp = from_options(opts)
     states = [ReadState(n, c, q) for (n, c, q) in reads]
     starts = genome.starts()
+    if timing:
+        timing.start()
 
     # ---- host: clean matches -> clusters -> raw extension ----
     sdp1_problems = []
@@ -335,16 +323,20 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
             exts.append(ExtRaw(q[keep], t[keep] + off, ln[keep],
                                c.strand, c.chrom, c.anchorfreq))
         rate = 3.0 if repetitive else opts.initial_anchorbonus
-        p, anchor_cluster = _make_sdp1b_problem(exts, rate)
+        p, anchors = _make_sdp1b_problem(exts, rate)
         if p is None:
             st.unaligned = True
             per_state.append(None)
             continue
-        per_state.append((p, exts, anchor_cluster))
+        per_state.append((p, exts, anchors))
         sdp1_problems.append(p)
 
+    if timing:
+        timing.tick("anchors+clusters+extend")
     # ---- device: SDP-1b ----
     solve_problems(sdp1_problems, gp, use_device)
+    if timing:
+        timing.tick("SDP-1b (device)")
 
     # ---- host: chains -> typed split -> refine -> SDP-2' problems ----
     sdp2_problems = []
@@ -353,9 +345,8 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
     for si, st in enumerate(states):
         if st.unaligned or per_state[si] is None:
             continue
-        p, exts, anchor_cluster = per_state[si]
-        chains = _decide_chains_1b(p, exts, anchor_cluster, opts,
-                                   len(st.codes))
+        p, exts, anchors = per_state[si]
+        chains = _decide_chains_1b(p, anchors, opts, len(st.codes))
         if not chains:
             st.unaligned = True
             continue
@@ -410,9 +401,13 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                     box_tasks=box_tasks) or []
             work.append((si, uc, seg_clusters, rev_cls))
 
+    if timing:
+        timing.tick("split+reseed")
     # ---- device: batched refine-box alignment ----
     from .refine import solve_box_tasks
     solve_box_tasks(box_tasks, opts, use_device)
+    if timing:
+        timing.tick("refine-boxes (device)")
 
     # extension + SDP-2' per segment
     from .highacc import ExtCluster, _make_sdp2_problem
@@ -460,10 +455,15 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                 sdp2_problems.append(p2)
         jobs2.append((si, uc, probs))
 
+    if timing:
+        timing.tick("re-extend")
     solve_problems(sdp2_problems, gp, use_device)
+    if timing:
+        timing.tick("SDP-2' (device)")
 
     # ---- host: assemble ----
     gap_jobs = []
+    big_gap_tasks = []
     for (si, uc, probs) in jobs2:
         st = states[si]
         group = SegGroup()
@@ -485,7 +485,8 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                 value = uc.value
             n_before = len(group.segments)
             _assemble_segments(st, _Ch, ac, [ec], genome, opts, group,
-                               gap_jobs, si, len(st.groups), gp)
+                               gap_jobs, si, len(st.groups), gp,
+                               big_gap_tasks)
             if ty == "I":
                 for seg in group.segments[n_before:]:
                     seg.typeofaln = 3
@@ -495,5 +496,12 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                 seg.is_supplementary = k_ > 0
             st.groups.append(group)
 
-    finalize_batch(states, gap_jobs, genome, opts, use_device)
+    if timing:
+        timing.tick("chain+assemble")
+    # ---- device: 3rd SDP over all big gaps of the batch ----
+    from .big_gap import resolve_big_gaps
+    resolve_big_gaps(big_gap_tasks, gap_jobs, gp, use_device)
+    if timing:
+        timing.tick("SDP-3 (device)")
+    finalize_batch(states, gap_jobs, genome, opts, use_device, timing)
     return states
