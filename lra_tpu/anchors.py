@@ -94,6 +94,64 @@ def match_minimizer_lists(
     return qpos, tpos, freq, is_rev
 
 
+def find_matches_batch(reads_codes: list, index: GlobalIndex,
+                       opts: Options) -> list:
+    """Batched find_matches: one concatenated intersection for the whole
+    read batch instead of per-read searchsorted calls (the per-read
+    minimizer extraction stays native C++; the lexsort/searchsorted/expand
+    cost then amortizes across the batch).  Returns [(fwd, rev)] per read
+    with identical semantics to find_matches — the multiplicity cap is
+    per read (run boundaries include the read id)."""
+    k, w = index.k, opts.global_w
+    per_read = [minimizers(c, k, w, canonical=True) for c in reads_codes]
+    n = len(per_read)
+    counts = np.fromiter((len(t) for (t, _, _) in per_read), np.int64, n)
+    if counts.sum() == 0:
+        z = np.zeros(0, np.int64)
+        empty = (Matches(z, z.copy(), z.copy()),
+                 Matches(z.copy(), z.copy(), z.copy()))
+        return [empty] * n
+    qt = np.concatenate([t for (t, _, _) in per_read])
+    qp = np.concatenate([p for (_, p, _) in per_read]).astype(np.int64)
+    qs = np.concatenate([s for (_, _, s) in per_read])
+    rid = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    order = np.lexsort((qt, rid))      # rid-major, tuple-minor
+    qt, qp, qs, rid = qt[order], qp[order], qs[order], rid[order]
+    b = np.concatenate([[True], (qt[1:] != qt[:-1]) | (rid[1:] != rid[:-1])])
+    run_id = np.cumsum(b) - 1
+    qrun = np.bincount(run_id)[run_id]
+
+    lo = np.searchsorted(index.tuples, qt, side="left")
+    hi = np.searchsorted(index.tuples, qt, side="right")
+    cnt = hi - lo
+    emit = (cnt > 0) & (qrun <= opts.global_max_freq)
+    qp_e, lo_e, cnt_e = qp[emit], lo[emit], cnt[emit]
+    qs_e, rid_e = qs[emit], rid[emit]
+    total = int(cnt_e.sum())
+    out = []
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        empty = (Matches(z, z.copy(), z.copy()),
+                 Matches(z.copy(), z.copy(), z.copy()))
+        return [empty] * n
+    rep = np.repeat(np.arange(len(cnt_e)), cnt_e)
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt_e) - cnt_e, cnt_e)
+    t_rows = lo_e[rep] + offs
+    qpos = qp_e[rep]
+    tpos = index.pos[t_rows].astype(np.int64)
+    freq = index.freqs[t_rows].astype(np.int64)
+    is_rev = qs_e[rep] != index.strand[t_rows]
+    rid_out = rid_e[rep]                 # non-decreasing (rid-major sort)
+    starts = np.searchsorted(rid_out, np.arange(n + 1))
+    for r in range(n):
+        s, e = starts[r], starts[r + 1]
+        ir = is_rev[s:e]
+        out.append((Matches(qpos[s:e][~ir], tpos[s:e][~ir], freq[s:e][~ir]),
+                    Matches(qpos[s:e][ir], tpos[s:e][ir], freq[s:e][ir])))
+    return out
+
+
 def find_matches(read_codes: np.ndarray, index: GlobalIndex, opts: Options):
     """Read -> (forward Matches, reverse Matches).
 

@@ -129,17 +129,12 @@ def decide_split_values(clusters: list, split: list, opts: Options) -> None:
         if len(c) == 0:
             continue
         ln = c.anchor_lengths()
-        # matched bases with overlap dedup along q
+        # matched bases with overlap dedup along q: each anchor counts
+        # its length minus the overlap with its predecessor's end
         q = c.qpos
         ends = q + ln
-        cur = int(q[0])
-        total = 0
-        for i in range(len(q)):
-            if cur > q[i]:
-                total += int(ends[i]) - cur
-            else:
-                total += int(ln[i])
-            cur = int(ends[i])
+        prev_end = np.concatenate([q[:1], ends[:-1]])
+        total = int(np.where(prev_end > q, ends - prev_end, ln).sum())
         vals[m] = total
         c.value = total
 

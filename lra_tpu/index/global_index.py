@@ -120,7 +120,11 @@ def build_global_index(genome: Genome, opts: Options) -> GlobalIndex:
         win = pos[ranked] // opts.global_winsize
         # rank of each element within its window, in `ranked` order
         win32 = win.astype(np.int32)
-        worder = (native.counting_argsort_i32(win32, 1 << 29)
+        # cap the counting-sort range: the native sort allocates two
+        # int64 vectors of `range` entries (~16B/window), so a 3Gb
+        # genome at winsize 12 (~2.6e8 windows) would transiently eat
+        # ~4GB; past 1<<26 windows the numpy stable sort is cheaper
+        worder = (native.counting_argsort_i32(win32, 1 << 26)
                   if native.available() else None)
         if worder is None:
             worder = np.argsort(win, kind="stable")

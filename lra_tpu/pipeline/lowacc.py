@@ -30,7 +30,7 @@ from ..chain.cleaners import (remove_paired_indels,
 from ..chain.driver import ChainProblem, best_chain, solve_problems
 from ..cluster.fine import clean_matches_to_clusters
 from ..cluster.types import Cluster
-from ..anchors import find_matches
+from ..anchors import find_matches_batch
 from ..index.global_index import GlobalIndex
 from ..io.genome import Genome
 from ..ops.gapcost import from_options
@@ -289,8 +289,9 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
     # ---- host: clean matches -> clusters -> raw extension ----
     sdp1_problems = []
     per_state = []
-    for st in states:
-        fwd, rev = find_matches(st.codes, index, opts)
+    batch_matches = find_matches_batch([st.codes for st in states], index,
+                                       opts)
+    for st, (fwd, rev) in zip(states, batch_matches):
         dd = dots.get(st.name) if dots else None
         if dd:
             dd.dump("all-matches", np.concatenate([fwd.qpos, rev.qpos]),

@@ -257,7 +257,14 @@ def enqueue_btwn_box(tasks: list, cluster: Cluster, chrom_codes,
                      two_blocks: bool, rev_out: list) -> None:
     """Deferred refine_btwn_space: capture the box (q flipped to the
     cluster's strand frame, as refine_btwn_space does inline).  Boxes
-    whose target cannot accept K-width seeds are dropped."""
+    whose target cannot accept K-width seeds are dropped.
+
+    Known delta vs the inline path / reference (ClusterRefine.h): box
+    geometries are captured up front from pre-reseed cluster boundaries,
+    so later gap/read-end boxes do not see clusters grown by earlier
+    boxes in the same round.  Acceptable because grown boundaries only
+    shrink a later box (seeds the smaller box would add are a subset of
+    what the earlier box already seeded into the shared cluster)."""
     if not _reseedable(cluster, K):
         return
     read_len = len(read_codes)

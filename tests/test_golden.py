@@ -2,98 +2,229 @@
 
 Builds ChaissonLab/lra from /root/reference using the clean-room htslib
 stubs (tools/htslib_stub) and compares both aligners on shared simulated
-reads: placements must agree and CIGAR-level error counts must be close.
-Skipped when the reference source or a compiler is unavailable.
+reads for every preset (CCS / ONT / CLR / CONTIG):
+
+* placement: pos within 50bp + same strand for >= the per-preset
+  agreement floor;
+* CIGAR error mass (I+D+X bases): within 2x of each other (+20bp
+  additive slack) on every agreeing read;
+* tags: NM within the same 2x bound; TP:A present on both sides.
+
+The CCS case runs with use_device=True so golden parity exercises the
+device kernel path (XLA CPU backend under tests).  Skipped when the
+reference source or a compiler is unavailable.
 """
 
 import os
 import re
 import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 from lra_tpu import preset, seq as sequtils
 from lra_tpu.index.global_index import build_global_index
+from lra_tpu.index.local_index import build_genome_local_index
 from lra_tpu.io.genome import Genome
 from lra_tpu.pipeline import align_reads
 from lra_tpu.sim import random_genome, sample_read
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REF_SRC = "/root/reference/lra.cpp"
-STUB = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "tools", "htslib_stub")
 
 
 @pytest.fixture(scope="module")
-def ref_bin(tmp_path_factory):
+def ref_bin():
     if not os.path.exists(REF_SRC):
         pytest.skip("reference source unavailable")
-    d = tmp_path_factory.mktemp("refbin")
-    out = d / "lra"
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-std=c++14", "-DNDEBUG", "-I", STUB,
-             REF_SRC, "-o", str(out), "-lz", "-lpthread"],
-            check=True, capture_output=True, timeout=420)
-    except Exception as e:
-        pytest.skip(f"reference build failed: {e}")
-    return str(out)
+    import bench
+    out = bench.build_reference()
+    if out is None:
+        pytest.skip("reference build failed")
+    return out
 
 
-def test_placement_agreement_ccs(ref_bin, tmp_path):
-    rng = np.random.default_rng(55)
-    g = random_genome(rng, 300000)
-    genome = Genome.from_seqs([("chr1", g)])
-    (tmp_path / "ref.fa").write_text(">chr1\n" + sequtils.decode(g) + "\n")
-    reads = []
-    with open(tmp_path / "reads.fa", "w") as f:
-        for i in range(24):
-            r = sample_read(rng, g, 6000, snp=0.003, ins=0.001, dele=0.001)
-            f.write(f">r{i}\n" + sequtils.decode(r.codes) + "\n")
-            reads.append((f"r{i}", r.codes))
+def _cig_err(cig: str) -> int:
+    return sum(int(n) for n, op in re.findall(r"(\d+)([MIDX=SH])", cig)
+               if op in "IDX")
 
-    subprocess.run([ref_bin, "index", "-CCS", "ref.fa"], cwd=tmp_path,
-                   check=True, capture_output=True, timeout=300)
-    out = subprocess.run(
-        [ref_bin, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1",
-         "-p", "s"],
-        cwd=tmp_path, capture_output=True, text=True, timeout=600)
-    assert out.returncode == 0, out.stderr[-500:]
-    ref_rows = {}
-    for ln in out.stdout.splitlines():
+
+def _parse_sam(text: str) -> dict:
+    """name -> (pos0, flagstrand, cigar, tags dict) for primary records."""
+    rows = {}
+    for ln in text.splitlines():
         if ln.startswith("@") or not ln.strip():
             continue
         f = ln.split("\t")
-        if f[1] in ("0", "16"):
-            ref_rows[f[0]] = (int(f[3]) - 1, f[1], f[5])
-    assert len(ref_rows) >= 22
+        if len(f) > 5 and f[1] in ("0", "16"):
+            tags = {t.split(":")[0]: t.split(":", 2)[2]
+                    for t in f[11:] if t.count(":") >= 2}
+            rows[f[0]] = (int(f[3]) - 1, f[1], f[5], tags)
+    return rows
 
-    opts = preset("ccs")
+
+def _run_reference(ref_bin, tmp_path, flag: str) -> dict:
+    subprocess.run([ref_bin, "index", flag, "ref.fa"], cwd=tmp_path,
+                   check=True, capture_output=True, timeout=600)
+    out = subprocess.run(
+        [ref_bin, "align", flag, "ref.fa", "reads.fa", "-t", "1", "-p", "s"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-500:]
+    return _parse_sam(out.stdout)
+
+
+def _run_ours(genome, reads, opts, use_device, with_li=True) -> dict:
     idx = build_global_index(genome, opts)
-    states, lines = align_reads(reads, genome, idx, opts,
-                                use_device=False)
-    ours = {}
+    li = None
+    if with_li:
+        li = build_genome_local_index(genome, k=min(opts.local_k, 10),
+                                      w=opts.local_w,
+                                      window=opts.local_index_window,
+                                      max_freq=opts.local_max_freq)
+    _, lines = align_reads(reads, genome, idx, opts, use_device=use_device,
+                           genome_li=li)
+    return _parse_sam("\n".join(lines))
+
+
+def _compare(ref_rows, our_rows, min_agree: float, check_tags=True):
+    assert ref_rows, "reference produced no primary alignments"
+    agree = 0
+    for name, (rpos, rflag, rcig, rtags) in ref_rows.items():
+        if name not in our_rows:
+            continue
+        opos, oflag, ocig, otags = our_rows[name]
+        if oflag != rflag or abs(opos - rpos) > 50:
+            continue
+        agree += 1
+        # CIGAR error mass within 2x of each other (+20bp slack):
+        # a <= 2b+20 and b <= 2a+20  <=>  |a-b| <= min(a,b)+20
+        a, b = _cig_err(ocig), _cig_err(rcig)
+        assert abs(a - b) <= min(a, b) + 20, \
+            (name, a, b, ocig[:60], rcig[:60])
+        if check_tags:
+            assert "NM" in otags and "NM" in rtags, name
+            nm_o, nm_r = int(otags["NM"]), int(rtags["NM"])
+            assert abs(nm_o - nm_r) <= min(nm_o, nm_r) + 20, \
+                (name, nm_o, nm_r)
+            assert "TP" in otags and "TP" in rtags, name
+    assert agree >= min_agree * len(ref_rows), (agree, len(ref_rows))
+    return agree
+
+
+def _write_inputs(tmp_path, g, reads):
+    (tmp_path / "ref.fa").write_text(">chr1\n" + sequtils.decode(g) + "\n")
+    with open(tmp_path / "reads.fa", "w") as f:
+        for name, codes in reads:
+            f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
+
+
+def _sim_reads(rng, g, n, length, err):
+    reads = []
+    for i in range(n):
+        r = sample_read(rng, g, length, snp=err * 0.6, ins=err * 0.2,
+                        dele=err * 0.2)
+        reads.append((f"r{i}", r.codes))
+    return reads
+
+
+def test_golden_ccs_device(ref_bin, tmp_path):
+    """CCS golden on the device kernel path (VERDICT r1 item 2)."""
+    rng = np.random.default_rng(55)
+    g = random_genome(rng, 300000)
+    reads = _sim_reads(rng, g, 24, 6000, 0.005)
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-CCS")
+    assert len(ref_rows) >= 22
+    genome = Genome.from_seqs([("chr1", g)])
+    ours = _run_ours(genome, reads, preset("ccs"), use_device=True)
+    _compare(ref_rows, ours, 0.9)
+
+
+def test_golden_ont(ref_bin, tmp_path):
+    rng = np.random.default_rng(77)
+    g = random_genome(rng, 300000)
+    reads = _sim_reads(rng, g, 16, 9000, 0.05)
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-ONT")
+    assert len(ref_rows) >= 12
+    genome = Genome.from_seqs([("chr1", g)])
+    ours = _run_ours(genome, reads, preset("ont"), use_device=False)
+    _compare(ref_rows, ours, 0.85)
+
+
+def test_golden_clr(ref_bin, tmp_path):
+    rng = np.random.default_rng(99)
+    g = random_genome(rng, 300000)
+    reads = _sim_reads(rng, g, 16, 9000, 0.12)
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-CLR")
+    assert len(ref_rows) >= 10
+    genome = Genome.from_seqs([("chr1", g)])
+    ours = _run_ours(genome, reads, preset("clr"), use_device=False)
+    _compare(ref_rows, ours, 0.8)
+
+
+def test_golden_contig(ref_bin, tmp_path):
+    """A 150kb contig with a 2kb DEL and a 1kb INS: both aligners place
+    it at the truth locus and surface the SVs as large CIGAR indels."""
+    rng = np.random.default_rng(11)
+    g = random_genome(rng, 600000)
+    pos = 200000
+    span = g[pos:pos + 150000].copy()
+    # 2kb deletion at +40k, 1kb insertion at +100k (contig frame)
+    ins = random_genome(rng, 1000)
+    contig = np.concatenate([span[:40000], span[42000:100000], ins,
+                             span[100000:]])
+    reads = [("ctg1", contig)]
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-CONTIG")
+    genome = Genome.from_seqs([("chr1", g)])
+    ours = _run_ours(genome, reads, preset("contig"), use_device=False)
+    assert "ctg1" in ref_rows and "ctg1" in ours
+
+    def big_ops(cig, op):
+        return [int(n) for n, o in re.findall(r"(\d+)([ID])", cig)
+                if o == op and int(n) >= 500]
+    rpos, _, rcig, _ = ref_rows["ctg1"]
+    opos, _, ocig, _ = ours["ctg1"]
+    assert abs(opos - rpos) <= 100, (opos, rpos)
+    assert big_ops(ocig, "D") and big_ops(rcig, "D"), "2kb DEL missing"
+    assert big_ops(ocig, "I") and big_ops(rcig, "I"), "1kb INS missing"
+
+
+def test_golden_paf(ref_bin, tmp_path):
+    """PAF parity: coordinates/strand agree with the reference's -p p."""
+    rng = np.random.default_rng(33)
+    g = random_genome(rng, 200000)
+    reads = _sim_reads(rng, g, 12, 6000, 0.005)
+    _write_inputs(tmp_path, g, reads)
+    subprocess.run([ref_bin, "index", "-CCS", "ref.fa"], cwd=tmp_path,
+                   check=True, capture_output=True, timeout=600)
+    out = subprocess.run(
+        [ref_bin, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1",
+         "-p", "p"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-500:]
+    ref_paf = {}
+    for ln in out.stdout.splitlines():
+        f = ln.split("\t")
+        if len(f) >= 12:
+            ref_paf[f[0]] = (f[4], int(f[7]), int(f[8]))
+    assert len(ref_paf) >= 10
+    genome = Genome.from_seqs([("chr1", g)])
+    opts = preset("ccs")
+    opts.print_format = "p"
+    idx = build_global_index(genome, opts)
+    _, lines = align_reads(reads, genome, idx, opts, use_device=False)
+    agree = 0
     for ln in lines:
         f = ln.split("\t")
-        if len(f) > 5 and f[1] in ("0", "16"):
-            ours[f[0]] = (int(f[3]) - 1, f[1], f[5])
-
-    def cig_err(cig):
-        err = 0
-        for num, op in re.findall(r"(\d+)([MIDX=SH])", cig):
-            if op in "IDX":
-                err += int(num)
-        return err
-
-    agree = 0
-    for name, (rpos, rflag, rcig) in ref_rows.items():
-        if name not in ours:
+        if len(f) < 12 or f[0] not in ref_paf:
             continue
-        opos, oflag, ocig = ours[name]
-        if oflag == rflag and abs(opos - rpos) <= 50:
+        strand, ts, te = ref_paf[f[0]]
+        if f[4] == strand and abs(int(f[7]) - ts) <= 50 \
+                and abs(int(f[8]) - te) <= 50:
             agree += 1
-            # CIGAR error mass within 2x + 20 bases of each other
-            assert abs(cig_err(ocig) - cig_err(rcig)) <= \
-                max(20, 1.0 * max(cig_err(rcig), cig_err(ocig))), \
-                (name, ocig[:80], rcig[:80])
-    assert agree >= 0.9 * len(ref_rows), (agree, len(ref_rows))
+    assert agree >= 0.9 * len(ref_paf), (agree, len(ref_paf))
