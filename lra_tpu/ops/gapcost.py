@@ -130,9 +130,10 @@ def pwl_table_jnp(x, table):
 def pwl_select_jnp(x, pwl_key):
     """Exact PWL penalty as a chain of elementwise selects (VPU-only, no
     gather).  Pieces are overwritten ascending: the last piece with
-    STOPS[i] < x wins, matching upper_bound semantics (piece covers
-    (STOPS[i], STOPS[i+1]]).  pwl_key: the STATIC tuple from
-    GapParams.static_key() so piece constants fold into the program."""
+    STOPS[i] <= x wins, matching the reference's upper_bound semantics
+    (SubRountine.h:110 — piece i covers [STOPS[i], STOPS[i+1])).
+    pwl_key: the STATIC tuple from GapParams.static_key() so piece
+    constants fold into the program."""
     slope, inter, ceiling1, ceiling2 = pwl_key
     xf = x.astype(jnp.float32)
     pen = jnp.zeros_like(xf)
@@ -141,7 +142,7 @@ def pwl_select_jnp(x, pwl_key):
         if s == 0.0:
             continue  # free pieces contribute 0
         b = float(inter[i])
-        pen = jnp.where(x > int(STOPS[i]), s * xf + b, pen)
+        pen = jnp.where(x >= int(STOPS[i]), s * xf + b, pen)
     pen = jnp.floor(pen)
     pen = jnp.where((pen >= ceiling1) & (pen < ceiling2), ceiling1, pen)
     pen = jnp.where(pen > ceiling2, ceiling2, pen)

@@ -1,0 +1,261 @@
+"""Large-N chaining DP kernel: banded near window + saturated far term.
+
+The blocked kernel (ops/sdp_blocked.py) evaluates every predecessor pair
+exactly — O(N^2) work and [B, L, N] candidate tensors, intractable for a
+megabase contig with 10^5 anchors.  This kernel bounds per-step work by
+splitting predecessors of fragment i (q-sorted rank r_i) into:
+
+* NEAR: the previous W fragments by q-rank, evaluated exactly with the
+  same masked pairwise costs ([B, L, W] per block step);
+* FAR: everything earlier, charged the PWL's terminal plateau ``ceiling2``
+  (reference: SubRountine.h:113-119 — the penalty saturates there, so for
+  any truly saturated pair this is *exact*, and for any other pair it is
+  an underestimate, never an overestimate).  The far maximum respects both
+  dominance constraints exactly: q-visibility via a host-precomputed
+  insertion schedule (fragments enter the structure once their qE is <=
+  the minimum qS of the current block), t-dominance via a prefix-max over
+  a host-precomputed t-sorted permutation.
+
+Why not fully exact at bounded cost: the live PWL is non-convex (free
+region below x=20, the ceiling1 plateau), so cost(|ddiag|) cannot be
+written as a max of linear functions of the predecessor diagonal; exact
+bounded-work chaining would need true 2-D (t-rank x diag-range) queries —
+the reference's ~4.7k-LoC divide-and-conquer (SparseDP.h:1834-1837).
+Instead W is sized so the near window's q-span exceeds the reference's own
+``splitdist`` (50k, Options.h:191): a missed-by-both-terms predecessor is
+q-distant AND diag-unsaturated, i.e. a chain edge the reference's
+SPLITChain would cut anyway.  Scores are never overestimated.
+
+Backpointers: near/in-block predecessors by index, far predecessors as
+sentinels FAR1/FAR2 that the host resolves during traceback (it knows V
+and the exact schedule).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gapcost import pwl_select_jnp
+
+NEG = jnp.float32(-3.0e38)
+FAR1 = -2   # bp sentinel: far predecessor via the forward (lane-1) term
+FAR2 = -3   # bp sentinel: far predecessor via the back-diagonal term
+
+
+def _pair_cost(d_i, d_j, pwl_key):
+    return -pwl_select_jnp(jnp.abs(d_i - d_j) + 1, pwl_key)
+
+
+def far_schedule(qS, qE, tS, tE, lane1, lane2, valid, L):
+    """Host precompute of the far-term structures for ONE problem
+    (1-D numpy arrays, fragments sorted by qS).
+
+    Returns dict of int32/bool arrays:
+      perm1/perm2: q-rank indices sorted by tE asc / tS desc
+      ok1/ok2:     lane&valid of the permuted fragments
+      qer1/qer2:   qE-rank of the permuted fragments
+      rank1/rank2: per-query prefix lengths (# j with tE_j <= tS_i /
+                   # j with tS_j >= tE_i)
+      ins_hi:      per-block insertion counts (# j with qE_j <= qS[b*L])
+    """
+    n = len(qS)
+    nb = (n + L - 1) // L
+    qe_rank = np.empty(n, np.int32)
+    qe_order = np.argsort(qE, kind="stable")
+    qe_rank[qe_order] = np.arange(n, dtype=np.int32)
+    qE_sorted = qE[qe_order]
+
+    perm1 = np.argsort(tE, kind="stable").astype(np.int32)
+    perm2 = np.argsort(-tS, kind="stable").astype(np.int32)
+    ok1 = (lane1 & valid)[perm1]
+    ok2 = (lane2 & valid)[perm2]
+    qer1 = qe_rank[perm1]
+    qer2 = qe_rank[perm2]
+    rank1 = np.searchsorted(tE[perm1], tS, side="right").astype(np.int32)
+    ts_desc = -tS[perm2]
+    rank2 = np.searchsorted(ts_desc, -tE, side="right").astype(np.int32)
+    block_qs = qS[np.minimum(np.arange(nb) * L, n - 1)]
+    ins_hi = np.searchsorted(qE_sorted, block_qs, side="right") \
+        .astype(np.int32)
+    return dict(perm1=perm1, perm2=perm2, ok1=ok1, ok2=ok2,
+                qer1=qer1, qer2=qer2, rank1=rank1, rank2=rank2,
+                ins_hi=ins_hi)
+
+
+@functools.partial(jax.jit, static_argnames=("pwl_key", "L", "W"))
+def chain_scores_windowed(qS, qE, tS, tE, score, lane1, lane2, valid,
+                          perm1, perm2, ok1, ok2, qer1, qer2,
+                          rank1, rank2, ins_hi,
+                          pwl_key, L=64, W=4096):
+    """Batched large-N DP; fragment args [B, N] sorted by qS, N % L == 0;
+    schedule args from far_schedule (stacked [B, N] / ins_hi [B, nb]).
+
+    Returns (V[B,N] f32, bp[B,N] int32, bplane[B,N] int32) with bp using
+    the FAR1/FAR2 sentinels for far predecessors.
+    """
+    B, N = qS.shape
+    nb = N // L
+    c2 = jnp.float32(pwl_key[3])
+    d1s = tS - qS
+    d1e = tE - qE
+    d2s = tE + qS
+    d2e = tS + qE
+
+    # front-pad per-fragment arrays with W invalid rows so the near
+    # window [b0-W, b0) is a static-length in-bounds slice
+    def fpad(a, fill):
+        return jnp.concatenate(
+            [jnp.full((B, W), fill, a.dtype), a], axis=1)
+    p_qE = fpad(qE, jnp.int32(2 ** 30))
+    p_tS = fpad(tS, jnp.int32(0))
+    p_tE = fpad(tE, jnp.int32(0))
+    p_d1e = fpad(d1e, jnp.int32(0))
+    p_d2e = fpad(d2e, jnp.int32(0))
+    p_l1 = fpad(lane1, False)
+    p_l2 = fpad(lane2, False)
+    p_valid = fpad(valid, False)
+
+    def blk(a, b0, ln=L):
+        return jax.lax.dynamic_slice_in_dim(a, b0, ln, axis=1)
+
+    def step(V, b):
+        b0 = b * L
+        bqS = blk(qS, b0)
+        bqE = blk(qE, b0)
+        btS = blk(tS, b0)
+        btE = blk(tE, b0)
+        bsc = blk(score, b0)
+        bl1 = blk(lane1, b0)
+        bl2 = blk(lane2, b0)
+        bva = blk(valid, b0)
+        bd1s = blk(d1s, b0)
+        bd2s = blk(d2s, b0)
+
+        # --- near window: previous W fragments by q-rank, exact ---
+        pV = fpad(V, NEG)
+        wV = blk(pV, b0, W)
+        wqE = blk(p_qE, b0, W)
+        wtS = blk(p_tS, b0, W)
+        wtE = blk(p_tE, b0, W)
+        wd1e = blk(p_d1e, b0, W)
+        wd2e = blk(p_d2e, b0, W)
+        wl1 = blk(p_l1, b0, W)
+        wl2 = blk(p_l2, b0, W)
+        wva = blk(p_valid, b0, W)
+        vis = (wqE[:, None, :] <= bqS[:, :, None]) & wva[:, None, :]
+        m1 = vis & (wtE[:, None, :] <= btS[:, :, None]) & \
+            wl1[:, None, :] & bl1[:, :, None]
+        m2 = vis & (wtS[:, None, :] >= btE[:, :, None]) & \
+            wl2[:, None, :] & bl2[:, :, None]
+        w1 = _pair_cost(bd1s[:, :, None], wd1e[:, None, :], pwl_key)
+        w2 = _pair_cost(bd2s[:, :, None], wd2e[:, None, :], pwl_key)
+        c1n = jnp.where(m1, wV[:, None, :] + w1, NEG)
+        c2n = jnp.where(m2, wV[:, None, :] + w2, NEG)
+        cand = jnp.maximum(c1n, c2n)
+        near_best = jnp.max(cand, axis=2)                       # [B, L]
+        near_arg = jnp.argmax(cand, axis=2).astype(jnp.int32)
+        near_lane = jnp.where(
+            jnp.take_along_axis(c2n, near_arg[:, :, None], 2)[:, :, 0]
+            > jnp.take_along_axis(c1n, near_arg[:, :, None], 2)[:, :, 0],
+            2, 1).astype(jnp.int32)
+        near_idx = b0 - W + near_arg                            # q-rank
+
+        # --- far term: prefix-max over t-sorted finalized fragments ---
+        hi = blk(ins_hi, b, 1)                                  # [B, 1]
+        Vt1 = jnp.take_along_axis(V, perm1, axis=1)
+        act1 = ok1 & (qer1 < hi)
+        P1 = jax.lax.cummax(jnp.where(act1, Vt1, NEG), axis=1)
+        r1 = blk(rank1, b0)                                     # [B, L]
+        g1 = jnp.take_along_axis(P1, jnp.maximum(r1 - 1, 0), axis=1)
+        far1 = jnp.where((r1 > 0) & bl1, g1 - c2, NEG)
+
+        Vt2 = jnp.take_along_axis(V, perm2, axis=1)
+        act2 = ok2 & (qer2 < hi)
+        P2 = jax.lax.cummax(jnp.where(act2, Vt2, NEG), axis=1)
+        r2 = blk(rank2, b0)
+        g2 = jnp.take_along_axis(P2, jnp.maximum(r2 - 1, 0), axis=1)
+        far2 = jnp.where((r2 > 0) & bl2, g2 - c2, NEG)
+
+        # exact terms win ties against the far underestimate
+        far_best = jnp.maximum(far1, far2)
+        far_bp = jnp.where(far1 >= far2, FAR1, FAR2).astype(jnp.int32)
+        far_lane = jnp.where(far1 >= far2, 1, 2).astype(jnp.int32)
+        use_far = far_best > near_best
+        best_prev = jnp.maximum(near_best, far_best)
+        arg_prev = jnp.where(use_far, far_bp, near_idx)
+        lane_prev = jnp.where(use_far, far_lane, near_lane)
+
+        # --- within-block triangle (exact, unrolled) ---
+        tvis = (bqE[:, None, :] <= bqS[:, :, None])
+        tm1 = tvis & (btE[:, None, :] <= btS[:, :, None]) & \
+            bl1[:, None, :] & bl1[:, :, None]
+        tm2 = tvis & (btS[:, None, :] >= btE[:, :, None]) & \
+            bl2[:, None, :] & bl2[:, :, None]
+        tw1 = _pair_cost(bd1s[:, :, None], blk(d1e, b0)[:, None, :],
+                         pwl_key)
+        tw2 = _pair_cost(bd2s[:, :, None], blk(d2e, b0)[:, None, :],
+                         pwl_key)
+        tc1 = jnp.where(tm1, tw1, NEG)
+        tc2 = jnp.where(tm2, tw2, NEG)
+        tcand = jnp.maximum(tc1, tc2)
+        tlane = jnp.where(tc2 > tc1, 2, 1).astype(jnp.int32)
+
+        vloc = jnp.full((B, L), NEG)
+        rows_v, rows_bp, rows_lane = [], [], []
+        for l in range(L):
+            in_cand = tcand[:, l, :] + vloc
+            in_cand = jnp.where(bva, in_cand, NEG)
+            in_best = jnp.max(in_cand, axis=1)
+            in_arg = jnp.argmax(in_cand, axis=1).astype(jnp.int32)
+            use_in = in_best > best_prev[:, l]
+            best = jnp.maximum(in_best, best_prev[:, l])
+            take = best > 0.0
+            v_l = bsc[:, l] + jnp.where(take, best, 0.0)
+            v_l = jnp.where(bva[:, l], v_l, NEG)
+            bp_l = jnp.where(
+                take,
+                jnp.where(use_in, b0 + in_arg, arg_prev[:, l]),
+                -1).astype(jnp.int32)
+            lane_l = jnp.where(
+                take,
+                jnp.where(use_in,
+                          jnp.take_along_axis(tlane[:, l, :],
+                                              in_arg[:, None], 1)[:, 0],
+                          lane_prev[:, l]),
+                0).astype(jnp.int32)
+            vloc = vloc.at[:, l].set(v_l)
+            rows_v.append(v_l)
+            rows_bp.append(bp_l)
+            rows_lane.append(lane_l)
+
+        V = jax.lax.dynamic_update_slice_in_dim(V, vloc, b0, axis=1)
+        return V, (jnp.stack(rows_v, 1), jnp.stack(rows_bp, 1),
+                   jnp.stack(rows_lane, 1))
+
+    V0 = jnp.full((B, N), NEG)
+    _, (v, bp, lane) = jax.lax.scan(step, V0, jnp.arange(nb))
+    v = jnp.transpose(v, (1, 0, 2)).reshape(B, N)
+    bp = jnp.transpose(bp, (1, 0, 2)).reshape(B, N)
+    lane = jnp.transpose(lane, (1, 0, 2)).reshape(B, N)
+    return v, bp, lane
+
+
+def resolve_far_np(i, qS, qE, tS, tE, V, lane1, lane2, valid, which,
+                   L=64):
+    """Host resolution of a FAR1/FAR2 sentinel at q-rank i: the argmax the
+    device's far term saw (its exact schedule: qE_j <= qS[block_start],
+    t-dominance, lane), so the chain stays consistent with V."""
+    b0 = (i // L) * L
+    vis = valid & (qE <= qS[b0])
+    if which == 1:
+        vis = vis & lane1 & (tE <= tS[i])
+    else:
+        vis = vis & lane2 & (tS >= tE[i])
+    if not vis.any():
+        return -1
+    cand = np.where(vis, V, -np.inf)
+    return int(np.argmax(cand))
