@@ -28,10 +28,51 @@ import numpy as np
 from ..ops.gapcost import GapParams
 from ..ops.sdp import chain_scores_np
 from ..ops.sdp_blocked import chain_scores_blocked
+from ..ops.sdp_windowed import (chain_scores_windowed, far_schedule,
+                                resolve_far_np)
 from ..options import Options
 from ..utils import pow2_at_least as _pow2
 
 _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+# problems beyond the top bucket run on the windowed kernel: exact within
+# the last WIN_W fragments + saturated-cost far term (ops/sdp_windowed.py)
+WIN_W = 4096
+WIN_L = 64
+# giant problems (megabase contigs) are additionally split into q-range
+# shards with a left halo and stitched (SURVEY.md §5's sequence-parallel
+# analog).  The halo exceeds the reference's splitdist (50k,
+# Options.h:191): a predecessor edge that sharding can drop spans a gap
+# the reference's SPLITChain would cut into separate segments anyway.
+SHARD_N = 32768
+SHARD_HALO = 60000
+
+
+def _shard_problem(p: "ChainProblem", shard_n: int, halo: int) -> list:
+    """Split one huge q-sorted problem into left-haloed shards.
+
+    Returns [(child, core_lo, core_hi, sel_off)]: child rows
+    [core_lo-sel_off : core_hi-sel_off] are the shard's OWNED rows
+    (parent rows [core_lo:core_hi]); earlier child rows are halo
+    predecessors (fragments within `halo` bases of q before the core).
+    Only a LEFT halo is needed: V[i] depends on predecessors alone."""
+    n = len(p.qS)
+    k = (n + shard_n - 1) // shard_n
+    out = []
+    for s in range(k):
+        lo = s * n // k
+        hi = (s + 1) * n // k
+        off = int(np.searchsorted(p.qS, p.qS[lo] - halo, side="left"))
+        sel = slice(off, hi)
+        # copies, not views: halo rows are frozen in place (score := V,
+        # qS := -1) without touching the parent
+        child = ChainProblem(
+            p.qS[sel].copy(), p.qE[sel].copy(), p.tS[sel].copy(),
+            p.tE[sel].copy(), p.score[sel].astype(np.float32),
+            np.asarray(p.lane1)[sel].copy(),
+            np.asarray(p.lane2)[sel].copy(),
+            np.arange(hi - off, dtype=np.int64), p.tbase)
+        out.append((child, lo, hi, off))
+    return out
 
 
 def _chain_packed(qS, qE, tS, tE, sc, l1, l2, valid, key):
@@ -43,6 +84,14 @@ def _chain_packed(qS, qE, tS, tE, sc, l1, l2, valid, key):
 
     V, bp, lane = chain_scores_blocked(qS, qE, tS, tE, sc, l1, l2, valid,
                                        key)
+    return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32), bp, lane])
+
+
+def _chain_packed_windowed(args, key):
+    import jax
+    import jax.numpy as jnp
+
+    V, bp, lane = chain_scores_windowed(*args, key, L=WIN_L, W=WIN_W)
     return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32), bp, lane])
 
 
@@ -74,6 +123,50 @@ class ChainProblem:
 def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
     """Run chain DP for many problems, bucketed+batched on device.
 
+    Giant problems (len > SHARD_N) are split into q-range shards with a
+    left halo and solved in SEQUENTIAL device rounds: shard r's halo rows
+    are frozen to their final V from rounds < r (score := V, qS := -1 so
+    they accept no predecessors), so chain values accumulate across shard
+    boundaries exactly; only predecessor edges spanning more than
+    SHARD_HALO bases of q with no intermediate chain fragment are lost —
+    gaps the reference's SPLITChain would cut regardless.  Shards of
+    different problems batch together per round (dp-sharded on the mesh).
+    """
+    sharded = [p for p in problems if len(p.qS) > SHARD_N]
+    normal = [p for p in problems if len(p.qS) <= SHARD_N]
+    plans = []
+    for p in sharded:
+        childs = _shard_problem(p, SHARD_N, SHARD_HALO)
+        n = len(p.qS)
+        p.V = np.full(n, -3.0e38, np.float32)
+        p.bp = np.full(n, -1, np.int32)
+        p.lane = np.zeros(n, np.int32)
+        plans.append((p, childs))
+    rounds = max((len(c) for _, c in plans), default=0)
+    for r in range(max(1, rounds)):
+        batch = normal if r == 0 else []
+        stitches = []
+        for p, childs in plans:
+            if r < len(childs):
+                child, lo, hi, off = childs[r]
+                nh = lo - off
+                if nh > 0:
+                    child.score[:nh] = p.V[off:lo]
+                    child.qS[:nh] = -1
+                batch.append(child)
+                stitches.append((p, childs[r]))
+        _solve_batch(batch, gp, use_device)
+        for p, (c, lo, hi, off) in stitches:
+            local = slice(lo - off, hi - off)
+            p.V[lo:hi] = c.V[local]
+            bp = c.bp[local]
+            p.bp[lo:hi] = np.where(bp >= 0, bp + off, -1)
+            p.lane[lo:hi] = c.lane[local]
+
+
+def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
+    """One bucketed+batched device round over ready problems.
+
     Both N (fragments) and B (problems per bucket) are padded to fixed
     sizes so the compiled kernels are reused across batches — remote
     compiles cost ~10s on the tunneled TPU, cached dispatches ~50ms."""
@@ -96,12 +189,19 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
     from ..parallel.mesh import batch_multiple, place
 
     by_bucket: dict = {}
+    windowed: dict = {}
     for p in large:
-        by_bucket.setdefault(_bucket(len(p.qS)), []).append(p)
+        n = len(p.qS)
+        if n <= _BUCKETS[-1]:
+            by_bucket.setdefault(_bucket(n), []).append(p)
+        else:
+            N = ((n + 8191) // 8192) * 8192
+            windowed.setdefault(N, []).append(p)
     key = gp.static_key()
     pending = []
-    for N, plist in by_bucket.items():
-        B = batch_multiple(_pow2(len(plist), 8))
+    for N, plist in list(by_bucket.items()) + list(windowed.items()):
+        is_win = N > _BUCKETS[-1]
+        B = batch_multiple(_pow2(len(plist), 1 if is_win else 8))
         def pad(attr, dtype, fill=0):
             out = np.full((B, N), fill, dtype)
             for b, p in enumerate(plist):
@@ -118,10 +218,36 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
         valid = np.zeros((B, N), bool)
         for b, p in enumerate(plist):
             valid[b, :len(p.qS)] = True
-        # async dispatch across all buckets before any download
-        packed = _chain_packed(
-            place(qS), place(qE), place(tS), place(tE), place(sc),
-            place(l1), place(l2), place(valid), key)
+        if is_win:
+            # host precompute of the far-term schedules, padded
+            nb = N // WIN_L
+            sch = {k: np.full((B, N), f, np.int32) for k, f in
+                   (("perm1", 0), ("perm2", 0), ("qer1", 2 ** 30),
+                    ("qer2", 2 ** 30), ("rank1", 0), ("rank2", 0))}
+            sch["ok1"] = np.zeros((B, N), bool)
+            sch["ok2"] = np.zeros((B, N), bool)
+            sch["ins_hi"] = np.zeros((B, nb), np.int32)
+            for b, p in enumerate(plist):
+                n = len(p.qS)
+                s = far_schedule(p.qS, p.qE, p.tS, p.tE,
+                                 np.asarray(p.lane1, bool),
+                                 np.asarray(p.lane2, bool),
+                                 np.ones(n, bool), WIN_L)
+                for k2 in ("perm1", "perm2", "ok1", "ok2", "qer1",
+                           "qer2", "rank1", "rank2"):
+                    sch[k2][b, :n] = s[k2]
+                sch["ins_hi"][b, :len(s["ins_hi"])] = s["ins_hi"]
+            args = tuple(place(a) for a in (
+                qS, qE, tS, tE, sc, l1, l2, valid,
+                sch["perm1"], sch["perm2"], sch["ok1"], sch["ok2"],
+                sch["qer1"], sch["qer2"], sch["rank1"], sch["rank2"],
+                sch["ins_hi"]))
+            packed = _chain_packed_windowed(args, key)
+        else:
+            # async dispatch across all buckets before any download
+            packed = _chain_packed(
+                place(qS), place(qE), place(tS), place(tE), place(sc),
+                place(l1), place(l2), place(valid), key)
         pending.append((plist, packed))
     # one flat d2h transfer for all buckets (latency floor per transfer)
     merged = None
@@ -141,6 +267,15 @@ def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
             n = len(p.qS)
             p.V, p.bp, p.lane = V[b, :n].copy(), bp[b, :n].copy(), \
                 lane[b, :n].copy()
+            # windowed kernel: resolve FAR1/FAR2 backpointer sentinels on
+            # host (rare; the device only records that the saturated far
+            # term won, not which fragment achieved it)
+            far = np.nonzero(p.bp < -1)[0]
+            for i in far:
+                p.bp[i] = resolve_far_np(
+                    int(i), p.qS, p.qE, p.tS, p.tE, p.V,
+                    np.asarray(p.lane1, bool), np.asarray(p.lane2, bool),
+                    np.ones(n, bool), 1 if p.bp[i] == -2 else 2, WIN_L)
 
 
 @dataclass
