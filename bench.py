@@ -19,6 +19,7 @@ import numpy as np
 
 REF_BIN = "/tmp/lra_ref_bench/lra"
 REF_SRC = "/root/reference/lra.cpp"
+N_READS = 256  # shared by run() and run_reference(): same denominator
 
 
 def build_reference():
@@ -39,12 +40,11 @@ def build_reference():
     return REF_BIN if os.path.exists(REF_BIN) else None
 
 
-def run(n_reads=256, read_len=8000, genome_len=2_000_000, device=True,
+def run(n_reads=N_READS, read_len=8000, genome_len=2_000_000, device=True,
         materialize=None):
     from lra_tpu import preset
     from lra_tpu.index.global_index import build_global_index
     from lra_tpu.io.genome import Genome
-    from lra_tpu.pipeline import align_reads
     from lra_tpu.sim import random_genome, sample_read
 
     rng = np.random.default_rng(0)
@@ -65,13 +65,26 @@ def run(n_reads=256, read_len=8000, genome_len=2_000_000, device=True,
             for name, codes in reads:
                 f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
 
+    # double-buffered sub-batches: one batch's host stages overlap
+    # another's device rounds (lra_tpu.pipeline.stream; the analog of
+    # the reference's pthread reader/align overlap, lra.cpp:103-172)
+    from lra_tpu.pipeline.stream import align_stream
+    sub = 64
+    batches = [reads[i:i + sub] for i in range(0, n_reads, sub)]
+
+    def once():
+        states = []
+        for st, _lines in align_stream(batches, genome, idx, opts,
+                                       use_device=device, workers=2):
+            states.extend(st)
+        return states
+
     # warm-up with identical shapes (compiles cache persistently)
-    align_reads(reads, genome, idx, opts, use_device=device)
+    states = once()
     best = None
     for _ in range(5 if device else 1):
         t0 = time.time()
-        states, lines = align_reads(reads, genome, idx, opts,
-                                    use_device=device)
+        states = once()
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt
@@ -110,14 +123,14 @@ def main():
     enable_compile_cache()
     workdir = tempfile.mkdtemp(prefix="lra_bench_")
     reads_per_s, mapped, dt = run(device=True, materialize=workdir)
-    ref_rps = run_reference(workdir, 256)
+    ref_rps = run_reference(workdir, N_READS)
     if ref_rps:
         baseline = reads_per_s / ref_rps
         unit = ("reads/s (8kb CCS-like, 2Mb genome, 1 chip, batch 256; "
                 f"baseline = reference lra -t 1 on this host at "
                 f"{ref_rps:.1f} reads/s)")
     else:
-        host_rps, _, _ = run(n_reads=256, device=False)
+        host_rps, _, _ = run(device=False)
         baseline = reads_per_s / host_rps if host_rps else 0.0
         unit = ("reads/s (8kb CCS-like, 2Mb genome, 1 chip, batch 256; "
                 "baseline = host-numpy pipeline)")

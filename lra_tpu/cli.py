@@ -72,8 +72,19 @@ def _parser(align: bool) -> argparse.ArgumentParser:
         p.add_argument("--stride", type=int, default=1,
                        help="read index stride (multi-job sharding)")
         p.add_argument("-t", "--threads", type=int, default=1,
-                       help="accepted for reference compatibility; "
-                            "parallelism comes from device batching")
+                       help="batch pipeline depth: overlap host stages "
+                            "of one batch with device rounds of another")
+        p.add_argument("--nproc", type=int, default=0,
+                       help="multi-process/multi-host run: total process "
+                            "count (each aligns reads procid::nproc and "
+                            "writes OUT.shardID; merge with `lra_tpu "
+                            "merge`)")
+        p.add_argument("--procid", type=int, default=0,
+                       help="this process's index in a --nproc run")
+        p.add_argument("--distributed", default="",
+                       help="jax.distributed coordinator host:port "
+                            "(multi-host pod slices; optional — plain "
+                            "--nproc runs are fully independent)")
         p.add_argument("-N", "--PrintNumAln", type=int, default=None,
                        help="max alignments to report per read")
         p.add_argument("--refineBreakpoints", action="store_true",
@@ -151,6 +162,11 @@ def cmd_align(argv) -> int:
     opts.show_mismatch = not args.noMismatch
     opts.time_read = args.timeRead
     _apply_overrides(opts, args)
+    if args.nproc > 1:
+        from .parallel.dist import init_process
+
+        args.start, args.stride, args.out = init_process(
+            args.nproc, args.procid, args.out, args.distributed)
     if args.cpu:
         import jax
 
@@ -173,7 +189,6 @@ def cmd_align(argv) -> int:
     if not args.cpu:
         enable_compile_cache()
 
-    from .pipeline import align_reads
     from .utils.dots import DotDumper
     from .utils.timing import Timing
 
@@ -187,30 +202,34 @@ def cmd_align(argv) -> int:
         out.write(sam_header(genome, " ".join(sys.argv)))
     n = 0
     t0 = time.time()
-    batch = []
 
-    def flush():
-        nonlocal n
-        if not batch:
-            return
-        states, lines = align_reads(batch, genome, gi, opts,
-                                    use_device=not args.cpu, genome_li=li,
-                                    timing=timing, dots=dots)
+    def gen_batches():
+        batch = []
+        for i, rec in enumerate(read_seqs(args.reads)):
+            if i < args.start or (i - args.start) % args.stride != 0:
+                continue
+            batch.append((rec.name, rec.seq, rec.qual,
+                          getattr(rec, "passthrough", None)))
+            if len(batch) >= args.batch:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    # -t N pipelines N batches through align_reads worker threads so
+    # host stages of one batch overlap device rounds of another (the
+    # reference's pthread fan-out analog, lra.cpp:103-172); output
+    # stays in input order
+    from .pipeline.stream import align_stream
+    for states, lines in align_stream(gen_batches(), genome, gi, opts,
+                                      use_device=not args.cpu,
+                                      genome_li=li, timing=timing,
+                                      dots=dots, workers=args.threads):
         for line in lines:
             out.write(line + "\n")
-        n += len(batch)
-        batch.clear()
-
-    for i, rec in enumerate(read_seqs(args.reads)):
-        if i < args.start or (i - args.start) % args.stride != 0:
-            continue
-        batch.append((rec.name, rec.seq, rec.qual,
-                      getattr(rec, "passthrough", None)))
-        if len(batch) >= args.batch:
-            flush()
-            print(f"aligned {n} reads ({n/(time.time()-t0):.1f} reads/s)",
-                  file=sys.stderr)
-    flush()
+        n += len(states)
+        print(f"aligned {n} reads ({n/(time.time()-t0):.1f} reads/s)",
+              file=sys.stderr)
     print(f"done: {n} reads in {time.time()-t0:.1f}s", file=sys.stderr)
     if timing:
         timing.write(args.timing)
@@ -345,6 +364,24 @@ def cmd_qti(argv) -> int:
     return 0
 
 
+def cmd_merge(argv) -> int:
+    """Merge --nproc SAM shards back into single-process order."""
+    p = argparse.ArgumentParser(prog="lra_tpu merge")
+    p.add_argument("shards", nargs="+",
+                   help="shard files ordered by procid")
+    p.add_argument("-o", "--out", default="-")
+    args = p.parse_args(argv)
+    from .parallel.dist import merge_shards
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    n = merge_shards(args.shards, out)
+    if out is not sys.stdout:
+        out.close()
+    print(f"merged {n} reads from {len(args.shards)} shards",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -355,6 +392,8 @@ def main(argv=None) -> int:
         return cmd_index(rest, which=cmd)
     if cmd == "align":
         return cmd_align(rest)
+    if cmd == "merge":
+        return cmd_merge(rest)
     if cmd == "qti":
         return cmd_qti(rest)
     if cmd == "simulate":
