@@ -156,6 +156,50 @@ def remove_paired_indels(ch: AnchorChain, refine_ends: bool = True) -> None:
         ch.take(~remove)
 
 
+def clean_spurious_jumping_anchors(ch: AnchorChain) -> None:
+    """reference: Chain.h:278-329 (UltimateChain::CleanSpuriousJumpingAnchors).
+
+    Chains are end-first (descending q), so t should descend on strand 0
+    and ascend on strand 1.  A run of <=3 anchors that jumps against that
+    direction and then returns past the jump origin is removed.  NOTE:
+    the reference declares and defines this cleaner but never calls it
+    (no call site in the tree); it is provided for API parity and is
+    likewise not wired into the pipelines.
+    """
+    n = len(ch)
+    if n < 2:
+        return
+    t, ln, s = ch.tpos, ch.length, ch.strand
+    remove = np.zeros(n, dtype=bool)
+    jump = -1
+    jump_tpos = 0
+    cur = 0
+    for im in range(n - 1):
+        cur = im + 1
+        prev = im
+        if jump == -1:
+            if s[cur] == s[prev]:
+                if s[cur] == 0:
+                    if t[cur] + ln[cur] > t[prev]:
+                        jump, jump_tpos = cur, int(t[prev])
+                else:
+                    if t[cur] < t[prev] + ln[prev]:
+                        jump, jump_tpos = cur, int(t[prev] + ln[prev])
+        else:
+            if s[cur] == 0:
+                if t[cur] + ln[cur] <= jump_tpos and cur - jump <= 3:
+                    remove[jump:cur] = True
+                    jump = -1
+            else:
+                if t[cur] >= jump_tpos and cur - jump <= 3:
+                    remove[jump:cur] = True
+                    jump = -1
+    if jump != -1 and cur - jump <= 3:
+        remove[jump:cur + 1] = True
+    if remove.any():
+        ch.take(~remove)
+
+
 def remove_spurious_anchors(ch: AnchorChain) -> None:
     """reference: Chain.h:828-895: between two >=500 diagonal jumps within
     10 anchors, drop the short (<50) anchors if none is >=50."""

@@ -38,7 +38,7 @@ from ..align.extend import (linear_extend_cluster, merge_same_diag,
                             trim_overlapped_anchors)
 from ..align.mapq import set_mapq
 from ..align.segment import SegGroup, Segment, order_groups
-from ..anchors import find_matches
+from ..anchors import find_matches_batch
 from ..chain.cleaners import (AnchorChain, remove_paired_indels,
                               remove_small_paired_indels,
                               remove_spurious_anchors)
@@ -120,7 +120,14 @@ def _split_ext_chain(exts: list, link, opts: Options) -> list:
     for pos in range(len(live) - 1):
         prev, cur = live[pos], live[pos + 1]
         pb, cb = bounds[prev], bounds[cur]
-        lk = bool(link[prev]) if prev < len(link) else False
+        # strand-flip parity between surviving clusters: when empty
+        # ExtClusters in (prev, cur) were skipped, XOR-compose the
+        # dropped intermediate edges so the 'D' (repetitive remap) test
+        # reads the true parity of the prev->cur edge
+        lk = False
+        for e in range(prev, cur):
+            if e < len(link):
+                lk ^= bool(link[e])
         ps, cs = exts[prev].strand, exts[cur].strand
         # mutual genome-overlap rate (OverlaprateOnGenome)
         ovp = max(0, min(pb[3], cb[3]) - max(pb[2], cb[2]))
@@ -150,31 +157,39 @@ def _split_ext_chain(exts: list, link, opts: Options) -> list:
             bs = [bounds[i] for i in g.idx]
             return (min(b[0] for b in bs), max(b[1] for b in bs),
                     min(b[2] for b in bs), max(b[3] for b in bs))
+        # loop structure mirrors the reference (Mapping_ultility.h:175-240):
+        # cur_ind redirects a merged-away slot back to its merge target so
+        # `im = n` after a merge re-examines the grown chain for chained
+        # merges, and a merge scan that exhausts all n terminates the
+        # whole loop (im = n = len).  Delta: already-merged (keep=False)
+        # slots are skipped in the scan — the reference re-reads their
+        # stale data on a path its own debug assert rejects.
         keep = [True] * len(groups)
+        cur_ind = list(range(len(groups)))
         im = 0
         while im <= len(groups) - 3:
-            c = groups[im]
-            if not keep[im] or c.type != "T":
+            c = groups[cur_ind[im]]
+            if c.type != "T":
                 im += 1
                 continue
-            merged = False
-            for n in range(im + 2, len(groups)):
+            n = im + 2
+            while n < len(groups):
                 if not keep[n]:
+                    n += 1
                     continue
                 cn = groups[n]
                 cbn, cbc = gb(cn), gb(c)
                 tdist = abs(cbc[2] - cbn[3])
                 if tdist > 1500 or c.strand != cn.strand or \
                         exts[c.idx[0]].chrom != exts[cn.idx[0]].chrom:
+                    n += 1
                     continue
                 c.idx.extend(cn.idx)
                 c.type = cn.type
+                cur_ind[n] = cur_ind[im]
                 keep[n] = False
-                merged = True
-                im = n
                 break
-            if not merged:
-                im += 1
+            im = n
         groups = [g for i, g in enumerate(groups) if keep[i]]
     return groups
 
@@ -278,8 +293,9 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
 
     # ---- host: anchors -> clusters -> split clusters ----
     sdp1_problems = []
-    for st in states:
-        fwd, rev = find_matches(st.codes, index, opts)
+    batch_matches = find_matches_batch([st.codes for st in states], index,
+                                       opts)
+    for st, (fwd, rev) in zip(states, batch_matches):
         dd = dots.get(st.name) if dots else None
         if dd:
             dd.dump("all-matches", np.concatenate([fwd.qpos, rev.qpos]),
@@ -608,22 +624,7 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
                                    lens_a.tolist()))
                     seg.md = ops_to_md(ops, read, chrom_codes,
                                        seg.blocks[0][0], seg.blocks[0][1])
-            # inversion typing: +,-,+ / -,+,- strand patterns with
-            # t-proximity and length gates (reference:
-            # LocalRefineAlignment.h:739-765)
-            segs = group.segments
-            for js in range(2, len(segs)):
-                a, b, c = segs[js - 2], segs[js - 1], segs[js]
-                if (a.strand, b.strand, c.strand) not in \
-                        ((0, 1, 0), (1, 0, 1)):
-                    continue
-                if b.tStart > a.tEnd + 10000 or c.tStart > b.tEnd + 10000:
-                    continue
-                if c.stats.nm < 500 or b.stats.nm < 500 or \
-                        a.stats.nm < 40 or a.stats.nm > 15000:
-                    continue
-                if a.typeofaln != 3:
-                    b.typeofaln = 3
+            type_inversions(group.segments)
             group.finalize()
         st.groups = order_groups(st.groups)
         set_mapq(st.groups, opts)
@@ -634,6 +635,27 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
                 seg.order = nseg - 1 - s_i
     if timing:
         timing.tick("score+mapq")
+
+
+def type_inversions(segs: list) -> None:
+    """Inversion typing: +,-,+ / -,+,- strand patterns with t-proximity
+    and length gates set TP:A:I on the middle segment (reference:
+    LocalRefineAlignment.h:739-765).  Gates, exactly as the reference:
+    the middle and right segments need >= 500 matched bases, the left
+    segment 40..15000, each segment's tStart within 10kb of its left
+    neighbor's tEnd, and the left segment must not itself be typed I."""
+    for js in range(2, len(segs)):
+        a, b, c = segs[js - 2], segs[js - 1], segs[js]
+        if (a.strand, b.strand, c.strand) not in \
+                ((0, 1, 0), (1, 0, 1)):
+            continue
+        if b.tStart > a.tEnd + 10000 or c.tStart > b.tEnd + 10000:
+            continue
+        if c.stats.nm < 500 or b.stats.nm < 500 or \
+                a.stats.nm < 40 or a.stats.nm > 15000:
+            continue
+        if a.typeofaln != 3:
+            b.typeofaln = 3
 
 
 def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
@@ -748,12 +770,25 @@ def _insert_gap_blocks(seg: Segment, jobs: list) -> None:
         q_off, t_off = job.key[3], job.key[4]
         for (bq, bt, bl) in job.blocks or []:
             seg.blocks.append((q_off + bq, t_off + bt, bl))
-    # always sort: deferred big-gap mid blocks append out of walk order
-    seg.blocks.sort(key=lambda b: (b[0], b[1]))
-    # defensive monotonicity: drop blocks breaking q/t order
+    if len(seg.blocks) <= 1:
+        return
+    # vectorized fast path: already sorted + q/t-monotone (the common
+    # case) needs no work; one lexsort otherwise, and the defensive
+    # drop-out-of-order scan only runs when a violation survives the sort
+    a = np.asarray(seg.blocks, np.int64)
+    q, t, ln = a[:, 0], a[:, 1], a[:, 2]
+    if bool(np.all((q[1:] >= q[:-1] + ln[:-1])
+                   & (t[1:] >= t[:-1] + ln[:-1]))):
+        return
+    a = a[np.lexsort((t, q))]
+    q, t, ln = a[:, 0], a[:, 1], a[:, 2]
+    if bool(np.all((q[1:] >= q[:-1] + ln[:-1])
+                   & (t[1:] >= t[:-1] + ln[:-1]))):
+        seg.blocks = list(map(tuple, a.tolist()))
+        return
     out = []
     pq = pt = -1
-    for (bq, bt, bl) in seg.blocks:
+    for (bq, bt, bl) in a.tolist():
         if bq >= pq and bt >= pt:
             out.append((bq, bt, bl))
             pq, pt = bq + bl, bt + bl
