@@ -19,7 +19,7 @@ import numpy as np
 
 REF_BIN = "/tmp/lra_ref_bench/lra"
 REF_SRC = "/root/reference/lra.cpp"
-N_READS = 256  # shared by run() and run_reference(): same denominator
+N_READS = 512  # shared by run() and run_reference(): same denominator
 
 
 def build_reference():
@@ -65,11 +65,14 @@ def run(n_reads=N_READS, read_len=8000, genome_len=2_000_000, device=True,
             for name, codes in reads:
                 f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
 
-    # double-buffered sub-batches: one batch's host stages overlap
+    # double-buffered FULL batches: one batch's host stages overlap
     # another's device rounds (lra_tpu.pipeline.stream; the analog of
-    # the reference's pthread reader/align overlap, lra.cpp:103-172)
+    # the reference's pthread reader/align overlap, lra.cpp:103-172).
+    # Batch 256 measured fastest solo (large batches amortize the
+    # tunnel's 28ms/transfer floor); smaller sub-batches lose more to
+    # extra device rounds than pipelining wins back.
     from lra_tpu.pipeline.stream import align_stream
-    sub = 64
+    sub = 256
     batches = [reads[i:i + sub] for i in range(0, n_reads, sub)]
 
     def once():
@@ -126,14 +129,14 @@ def main():
     ref_rps = run_reference(workdir, N_READS)
     if ref_rps:
         baseline = reads_per_s / ref_rps
-        unit = ("reads/s (8kb CCS-like, 2Mb genome, 1 chip, batch 256; "
-                f"baseline = reference lra -t 1 on this host at "
-                f"{ref_rps:.1f} reads/s)")
+        unit = ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, 2x256 "
+                f"pipelined; baseline = reference lra -t 1 on this host "
+                f"at {ref_rps:.1f} reads/s)")
     else:
         host_rps, _, _ = run(device=False)
         baseline = reads_per_s / host_rps if host_rps else 0.0
-        unit = ("reads/s (8kb CCS-like, 2Mb genome, 1 chip, batch 256; "
-                "baseline = host-numpy pipeline)")
+        unit = ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, 2x256 "
+                "pipelined; baseline = host-numpy pipeline)")
     print(json.dumps({
         "metric": "ccs_reads_per_s_e2e",
         "value": round(reads_per_s, 3),

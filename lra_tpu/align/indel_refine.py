@@ -76,6 +76,18 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
     jobs = []
     max_gap = opts.refine_band - 1
     for (lo, hi) in plan_refine_regions(seg, opts):
+        # mismatch-only fast path: when every junction in the region is
+        # diagonal-preserving (qgap == tgap), there are no indels to
+        # consolidate — the banded re-DP provably returns the same
+        # diagonal path (indel pairs cost more than the mismatches they
+        # would replace), so the job is skipped with identical output.
+        # SNP-dominated CCS reads hit this for most regions; the
+        # reference re-DPs them anyway (IndelRefine.h:133-165) and gets
+        # the same blocks back.
+        if all(seg.blocks[j + 1][0] - (seg.blocks[j][0] + seg.blocks[j][2])
+               == seg.blocks[j + 1][1] - (seg.blocks[j][1] + seg.blocks[j][2])
+               for j in range(lo, hi)):
+            continue
         # long flanking blocks stay fixed; only their trailing/leading
         # max_gap bases enter the window (reference: IndelRefine.h:175-205)
         q0, t0, ln0 = seg.blocks[lo]

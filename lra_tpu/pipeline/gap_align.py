@@ -68,11 +68,22 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
     """
     import jax.numpy as jnp
 
+    # equal-length gaps with <=1 mismatch: the diagonal path is provably
+    # optimal (any alternative needs an ins+del pair, and with
+    # 2*|indel| > |mismatch| plus one unalignable base it scores
+    # strictly worse), so the job resolves inline — SNP-separated anchor
+    # gaps are the bulk of a CCS batch's jobs
+    diag_ok = 2 * abs(opts.local_indel) > abs(opts.local_mismatch)
+
     device_jobs: dict = {}
     for job in jobs:
         ql, tl = len(job.q), len(job.t)
         if ql == 0 or tl == 0:
             job.blocks = []
+            continue
+        if diag_ok and ql == tl and \
+                int(np.count_nonzero(job.q != job.t)) <= 1:
+            job.blocks = [(0, 0, ql)]
             continue
         drift = abs(ql - tl)
         band_in = job.band if job.band is not None else \
