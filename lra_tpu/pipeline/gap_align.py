@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..align.affine import affine_one_gap_align
+from ..ops.affine_small import SMALL_MAX, solve_small_jobs
 from ..ops.affine_kernel import (banded_global_np,
                                  banded_global_traced_packed,
                                  blocks_from_ops_batch, traceback_banded,
@@ -76,6 +77,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
     diag_ok = 2 * abs(opts.local_indel) > abs(opts.local_mismatch)
 
     device_jobs: dict = {}
+    small_jobs: list = []
     for job in jobs:
         ql, tl = len(job.q), len(job.t)
         if ql == 0 or tl == 0:
@@ -92,6 +94,12 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
         diag = max(1, min(ql, tl))
         if diag + 2 * k >= max(ql, tl):
             kb = 2 * k   # banded-global regime (device or batched numpy)
+            if max(ql, tl) <= SMALL_MAX:
+                # tiny job: batched host DP (ops/affine_small.py) —
+                # identical scores/tie-order, none of the per-job device
+                # round-trip or bucket-fill cost
+                small_jobs.append((job, kb))
+                continue
             # K class: narrow (gap closing) vs one wide tier (indel
             # refine).  The packed download size is independent of the
             # band, so a single wide class costs only cheap VPU compute
@@ -109,6 +117,14 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
                                    opts.local_mismatch, opts.local_indel,
                                    band_in)
         job.blocks = res.blocks
+
+    if small_jobs:
+        blocks = solve_small_jobs(
+            [j.q for j, _ in small_jobs], [j.t for j, _ in small_jobs],
+            opts.local_match, opts.local_mismatch, opts.local_indel,
+            kbands=[kb for _, kb in small_jobs])
+        for (job, _), bl in zip(small_jobs, blocks):
+            job.blocks = bl
 
     from ..parallel.mesh import batch_multiple, place
 

@@ -694,6 +694,7 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
         seg.second_sdp_value = ac.second_sdp_value
         seg.is_supplementary = bi > 0 or len(group.segments) > 0
         read = st.rc if strand == 1 else st.codes
+        diag_ok = 2 * abs(opts.local_indel) > abs(opts.local_mismatch)
         prev_q_end = prev_t_end = None
         for i in range(len(q)):
             if strand == 0:
@@ -751,10 +752,19 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                         big_gap_tasks.append(task)
                         deferred = True
                 if not deferred and rgap > 0 and tgap > 0:
-                    gap_jobs.append(GapJob(
-                        read[prev_q_end:bq].copy(),
-                        chrom_codes[prev_t_end:bt].copy(),
-                        (si, gi, zi, prev_q_end, prev_t_end)))
+                    # equal-length gap with <=1 mismatch: the diagonal
+                    # path is provably optimal (2|indel| > |mismatch|) —
+                    # emit the block inline, no device job (the bulk of
+                    # SNP-separated anchor gaps)
+                    if diag_ok and rgap == tgap and int(np.count_nonzero(
+                            read[prev_q_end:bq]
+                            != chrom_codes[prev_t_end:bt])) <= 1:
+                        seg.blocks.append((prev_q_end, prev_t_end, rgap))
+                    else:
+                        gap_jobs.append(GapJob(
+                            read[prev_q_end:bq].copy(),
+                            chrom_codes[prev_t_end:bt].copy(),
+                            (si, gi, zi, prev_q_end, prev_t_end)))
             seg.blocks.append((bq, bt, bl))
             prev_q_end = bq + bl
             prev_t_end = bt + bl
