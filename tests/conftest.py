@@ -4,16 +4,20 @@ import os
 # bench.py and the driver's compile checks.  The axon sitecustomize forces
 # JAX_PLATFORMS=axon programmatically, so the env var alone is not enough —
 # we must also update the config after import.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
-
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("LRA_TPU_TEST_TPU"):
+    # opt-in: run the suite against the real TPU (e.g. the Pallas
+    # equivalence test, which skips off-TPU)
+    pass
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 # persist CPU-kernel compilations across test runs (same cache dir keyed
 # by platform, so TPU entries don't collide)
