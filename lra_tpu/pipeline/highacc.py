@@ -695,17 +695,49 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
         seg.is_supplementary = bi > 0 or len(group.segments) > 0
         read = st.rc if strand == 1 else st.codes
         diag_ok = 2 * abs(opts.local_indel) > abs(opts.local_mismatch)
+
+        # vectorized pre-classification of trivial gaps (valid while no
+        # overlap clip has occurred — clips change downstream ends):
+        # equal-length inter-anchor gaps with <=1 mismatch emit as
+        # diagonal blocks without a per-gap numpy round trip
+        vq = (q.astype(np.int64) if strand == 0
+              else read_len - q.astype(np.int64) - ln)
+        vt = t.astype(np.int64)
+        vl = ln.astype(np.int64)
+        pe_q = vq + vl
+        pe_t = vt + vl
+        trivial_gap = np.zeros(max(0, len(q) - 1), bool)
+        if diag_ok and len(q) > 1:
+            r_arr = vq[1:] - pe_q[:-1]
+            t_arr = vt[1:] - pe_t[:-1]
+            eqg = (r_arr == t_arr) & (r_arr > 0)
+            gidx = np.nonzero(eqg)[0]
+            if len(gidx):
+                lens = r_arr[gidx]
+                tot = int(lens.sum())
+                rep_base = np.cumsum(lens) - lens
+                offs = np.arange(tot) - np.repeat(rep_base, lens)
+                qf = np.repeat(pe_q[:-1][gidx], lens) + offs
+                tf = np.repeat(pe_t[:-1][gidx], lens) + offs
+                rep_ids = np.repeat(np.arange(len(gidx)), lens)
+                mmc = np.bincount(rep_ids,
+                                  weights=(read[qf] != chrom_codes[tf]),
+                                  minlength=len(gidx))
+                trivial_gap[gidx] = mmc <= 1
+
+        bq_l = vq.tolist()
+        bt_l = vt.tolist()
+        bl_l = vl.tolist()
+        clipped = False
         prev_q_end = prev_t_end = None
         for i in range(len(q)):
-            if strand == 0:
-                bq = int(q[i])
-            else:
-                bq = read_len - int(q[i]) - int(ln[i])
-            bt = int(t[i])
-            bl = int(ln[i])
+            bq = bq_l[i]
+            bt = bt_l[i]
+            bl = bl_l[i]
             if prev_q_end is not None:
                 # clip overlaps defensively (cleaners should prevent them)
                 if bq < prev_q_end or bt < prev_t_end:
+                    clipped = True   # precomputed gap masks now stale
                     shift = max(prev_q_end - bq, prev_t_end - bt)
                     bq += shift
                     bt += shift
@@ -755,10 +787,14 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                     # equal-length gap with <=1 mismatch: the diagonal
                     # path is provably optimal (2|indel| > |mismatch|) —
                     # emit the block inline, no device job (the bulk of
-                    # SNP-separated anchor gaps)
-                    if diag_ok and rgap == tgap and int(np.count_nonzero(
-                            read[prev_q_end:bq]
-                            != chrom_codes[prev_t_end:bt])) <= 1:
+                    # SNP-separated anchor gaps).  The precomputed mask
+                    # is valid until the first overlap clip.
+                    if not clipped and trivial_gap[i - 1]:
+                        seg.blocks.append((prev_q_end, prev_t_end, rgap))
+                    elif clipped and diag_ok and rgap == tgap and \
+                            int(np.count_nonzero(
+                                read[prev_q_end:bq]
+                                != chrom_codes[prev_t_end:bt])) <= 1:
                         seg.blocks.append((prev_q_end, prev_t_end, rgap))
                     else:
                         gap_jobs.append(GapJob(
