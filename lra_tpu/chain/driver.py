@@ -27,7 +27,7 @@ import numpy as np
 
 from ..ops.gapcost import GapParams
 from ..ops.sdp import chain_scores_np
-from ..ops.sdp_blocked import chain_scores_blocked
+from ..ops.sdp_blocked import chain_mask_from_scores, chain_scores_blocked
 from ..ops.sdp_windowed import (chain_scores_windowed, far_schedule,
                                 resolve_far_np)
 from ..options import Options
@@ -87,6 +87,21 @@ def _chain_packed(qS, qE, tS, tE, sc, l1, l2, valid, key):
     return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32), bp, lane])
 
 
+def _chain_packed_masked(qS, qE, tS, tE, sc, l1, l2, valid, key):
+    """Single-best-chain rounds (SDP-2/2'/...): device traceback + chain
+    bitmask download — int32[B, N//32 + 1] (vmax bitcast in the last
+    column) instead of int32[3, B, N]."""
+    import jax
+    import jax.numpy as jnp
+
+    V, bp, _lane = chain_scores_blocked(qS, qE, tS, tE, sc, l1, l2,
+                                        valid, key)
+    vmax, bits = chain_mask_from_scores(V, bp, valid)
+    return jnp.concatenate(
+        [bits, jax.lax.bitcast_convert_type(vmax, jnp.int32)[:, None]],
+        axis=1)
+
+
 def _chain_packed_windowed(args, key):
     import jax
     import jax.numpy as jnp
@@ -114,10 +129,16 @@ class ChainProblem:
     lane2: np.ndarray
     order: np.ndarray       # original fragment index per sorted row
     tbase: int = 0
+    # need_full=False: the caller only wants the single best chain
+    # (best_chain/chain_vmax) — the device tracebacks and downloads a
+    # ~100x smaller chain bitmask instead of V/bp/lane
+    need_full: bool = True
     # results
     V: np.ndarray | None = None
     bp: np.ndarray | None = None
     lane: np.ndarray | None = None
+    chain_rows: np.ndarray | None = None   # masked path: rows, descending
+    vmax: float = 0.0
 
 
 def solve_problems(problems: list, gp: GapParams, use_device: bool = True):
@@ -193,13 +214,16 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
     for p in large:
         n = len(p.qS)
         if n <= _BUCKETS[-1]:
-            by_bucket.setdefault(_bucket(n), []).append(p)
+            by_bucket.setdefault((_bucket(n), p.need_full), []).append(p)
         else:
+            # windowed kernel may emit FAR sentinels the host must
+            # resolve, so it always downloads the full result
             N = ((n + 8191) // 8192) * 8192
-            windowed.setdefault(N, []).append(p)
+            windowed.setdefault((N, True), []).append(p)
     key = gp.static_key()
     pending = []
-    for N, plist in list(by_bucket.items()) + list(windowed.items()):
+    for (N, full), plist in list(by_bucket.items()) + \
+            list(windowed.items()):
         is_win = N > _BUCKETS[-1]
         B = batch_multiple(_pow2(len(plist), 1 if is_win else 8))
         def pad(attr, dtype, fill=0):
@@ -243,24 +267,39 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                 sch["qer1"], sch["qer2"], sch["rank1"], sch["rank2"],
                 sch["ins_hi"]))
             packed = _chain_packed_windowed(args, key)
-        else:
+        elif full:
             # async dispatch across all buckets before any download
             packed = _chain_packed(
                 place(qS), place(qE), place(tS), place(tE), place(sc),
                 place(l1), place(l2), place(valid), key)
-        pending.append((plist, packed))
+        else:
+            packed = _chain_packed_masked(
+                place(qS), place(qE), place(tS), place(tE), place(sc),
+                place(l1), place(l2), place(valid), key)
+        pending.append((plist, full or is_win, packed))
     # one flat d2h transfer for all buckets (latency floor per transfer)
     merged = None
     if pending:
-        flats = [pk.reshape(-1) for _, pk in pending]
+        flats = [pk.reshape(-1) for _, _, pk in pending]
         merged = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
         merged.copy_to_host_async()
         merged = np.asarray(merged)
     off = 0
-    for plist, pk in pending:
+    for plist, full, pk in pending:
         size = pk.size
         packed = merged[off:off + size].reshape(pk.shape)
         off += size
+        if not full:
+            # masked path: [B, N//32 + 1] (bits + vmax bitcast)
+            vmax = packed[:, -1].view(np.float32)
+            bits = np.ascontiguousarray(packed[:, :-1]).view(np.uint8)
+            mask = np.unpackbits(bits, axis=1, bitorder="little")
+            for b, p in enumerate(plist):
+                n = len(p.qS)
+                p.vmax = float(vmax[b])
+                rows = np.nonzero(mask[b, :n])[0]
+                p.chain_rows = rows[::-1].astype(np.int64)  # end-first
+            continue
         V = packed[0].view(np.float32)
         bp, lane = packed[1], packed[2]
         for b, p in enumerate(plist):
@@ -447,12 +486,26 @@ def make_sdp2_problem(qpos, tpos, lengths, strand: int, starts, ends,
     tbase = int(tS.min()) if g else 0
     return ChainProblem(qS[order], qE[order], tS[order] - tbase,
                         tE[order] - tbase, score[order],
-                        lane1[order], lane2[order], order, tbase)
+                        lane1[order], lane2[order], order, tbase,
+                        need_full=False)
+
+
+def chain_vmax(p: ChainProblem) -> float:
+    """Best chain value, from either result representation."""
+    if p.V is not None and len(p.V):
+        return float(np.max(p.V))
+    return float(p.vmax)
 
 
 def best_chain(p: ChainProblem) -> list:
     """Single best traceback; returns original fragment indices, chain END
     first (reference order)."""
+    if p.V is None and p.chain_rows is not None:
+        # masked path: the device walked bp already; rows are the chain
+        # in descending q-sort order == walk order
+        if p.vmax <= 0 or len(p.chain_rows) == 0:
+            return []
+        return [int(p.order[i]) for i in p.chain_rows]
     if p.V is None or len(p.V) == 0:
         return []
     i = int(np.argmax(p.V))

@@ -138,3 +138,32 @@ def chain_scores_blocked(qS, qE, tS, tE, score, lane1, lane2, valid,
     bp = jnp.transpose(bp, (1, 0, 2)).reshape(B, N)
     lane = jnp.transpose(lane, (1, 0, 2)).reshape(B, N)
     return v, bp, lane
+
+
+def chain_mask_from_scores(V, bp, valid):
+    """Device-side single-best traceback: walk bp from argmax(V) and
+    return (vmax f32[B], maskbits int32[B, N//32]) — the chain as a
+    bitmask.  Downloading ~N/8 bytes instead of 12N (V+bp+lane) matters
+    on links where d2h transfers dominate; the chain's walk order is
+    recoverable on host because a backpointer always targets a strictly
+    earlier q-sorted row (qS_j < qE_j <= qS_i).  Requires N % 32 == 0.
+    """
+    B, N = V.shape
+    Vm = jnp.where(valid, V, NEG)
+    vmax = jnp.max(Vm, axis=1)
+    start = jnp.argmax(Vm, axis=1).astype(jnp.int32)
+    start = jnp.where(vmax > 0.0, start, -1)
+    rows = jnp.arange(B)
+
+    def step(carry, _):
+        cur, mask = carry
+        mask = mask.at[rows, jnp.maximum(cur, 0)].max(cur >= 0)
+        nxt = jnp.where(cur >= 0, bp[rows, jnp.maximum(cur, 0)], -1)
+        return (nxt, mask), None
+
+    mask0 = jnp.zeros((B, N), bool)
+    (_, mask), _ = jax.lax.scan(step, (start, mask0), None, length=N)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    bits = (mask.reshape(B, N // 32, 32).astype(jnp.uint32)
+            * weights[None, None, :]).sum(axis=2)
+    return vmax, jax.lax.bitcast_convert_type(bits, jnp.int32)

@@ -42,7 +42,8 @@ from ..anchors import find_matches_batch
 from ..chain.cleaners import (AnchorChain, remove_paired_indels,
                               remove_small_paired_indels,
                               remove_spurious_anchors)
-from ..chain.driver import (ChainProblem, best_chain, decide_primary_chains,
+from ..chain.driver import (ChainProblem, best_chain, chain_vmax,
+                            decide_primary_chains,
                             make_sdp1_problem, solve_problems, switchindex)
 from ..cluster.fine import matches_to_fine_clusters
 from ..cluster.split import decide_split_values, split_clusters
@@ -233,7 +234,7 @@ def _make_sdp2_problem(ext_clusters: list, bonus: float, indices=None):
     tbase = int(tS.min())
     p = ChainProblem(qS[order], qE[order], tS[order] - tbase,
                      tE[order] - tbase, sc[order], l1[order], l2[order],
-                     order, tbase)
+                     order, tbase, need_full=False)
     return p, backref
 
 
@@ -507,7 +508,7 @@ def map_batch(reads, genome: Genome, index: GlobalIndex, opts: Options,
                     remove_spurious_anchors(ac)
                 if len(ac) == 0:
                     continue
-                ac.second_sdp_value = float(np.max(p.V))
+                ac.second_sdp_value = chain_vmax(p)
                 _assemble_segments(st, ch, ac, exts, genome, opts, group,
                                    gap_jobs, si, len(st.groups), gp,
                                    big_gap_tasks)

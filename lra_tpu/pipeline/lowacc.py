@@ -27,7 +27,8 @@ from ..align.extend import (linear_extend_cluster, merge_same_diag,
 from ..align.segment import SegGroup
 from ..chain.cleaners import (remove_paired_indels,
                               remove_spurious_anchors)
-from ..chain.driver import ChainProblem, best_chain, solve_problems
+from ..chain.driver import (ChainProblem, best_chain, chain_vmax,
+                            solve_problems)
 from ..cluster.fine import clean_matches_to_clusters
 from ..cluster.types import Cluster
 from ..anchors import find_matches_batch
@@ -479,7 +480,7 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
             remove_spurious_anchors(ac)
             if len(ac) == 0:
                 continue
-            ac.second_sdp_value = float(np.max(p2.V))
+            ac.second_sdp_value = chain_vmax(p2)
 
             class _Ch:   # minimal chain info for _assemble_segments
                 num_anchors = uc.num_anchors
