@@ -484,10 +484,13 @@ def make_sdp2_problem(qpos, tpos, lengths, strand: int, starts, ends,
     lane2 = np.full(g, strand == 1)
     order = np.argsort(qS, kind="stable")
     tbase = int(tS.min()) if g else 0
+    # need_full stays True: on the tunneled dev TPU the masked-download
+    # path's device traceback (an N-step scan) costs ~10x more than the
+    # full download it replaces (SDP-2 round 0.06s -> 0.65s measured);
+    # flip to need_full=False on links where d2h bandwidth dominates
     return ChainProblem(qS[order], qE[order], tS[order] - tbase,
                         tE[order] - tbase, score[order],
-                        lane1[order], lane2[order], order, tbase,
-                        need_full=False)
+                        lane1[order], lane2[order], order, tbase)
 
 
 def chain_vmax(p: ChainProblem) -> float:

@@ -234,7 +234,7 @@ def _make_sdp2_problem(ext_clusters: list, bonus: float, indices=None):
     tbase = int(tS.min())
     p = ChainProblem(qS[order], qE[order], tS[order] - tbase,
                      tE[order] - tbase, sc[order], l1[order], l2[order],
-                     order, tbase, need_full=False)
+                     order, tbase)
     return p, backref
 
 
