@@ -56,6 +56,7 @@ def _shard_problem(p: "ChainProblem", shard_n: int, halo: int) -> list:
     predecessors (fragments within `halo` bases of q before the core).
     Only a LEFT halo is needed: V[i] depends on predecessors alone."""
     n = len(p.qS)
+    shard_n = max(1, shard_n)
     k = (n + shard_n - 1) // shard_n
     out = []
     for s in range(k):
