@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..options import Options
-from ..pipeline.gap_align import GapJob
+from ..pipeline.gap_align import GapJob, diag_gap_guard
 
 
 def plan_end_extension(seg, read_len: int, chrom_len: int) -> None:
@@ -75,19 +75,31 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
     Returns jobs whose key carries (block_lo, block_hi) for splicing."""
     jobs = []
     max_gap = opts.refine_band - 1
+    # single-mismatch fast path: a region whose junctions are all
+    # diagonal-preserving (qgap == tgap) AND that contains at most ONE
+    # mismatched base total cannot be improved by the banded re-DP —
+    # converting X mismatches to matches gains X*(m-mm) but costs at
+    # least an ins+del pair 2|ind| plus one unalignable base m, so with
+    # |mm| < 2|ind| the diagonal is strictly optimal only for X <= 1
+    # (X >= 2 CAN be beaten when a shift-periodic block separates the
+    # SNPs, so those regions are re-DP'd like the reference does).
+    diag_ok = diag_gap_guard(opts)
     for (lo, hi) in plan_refine_regions(seg, opts):
-        # mismatch-only fast path: when every junction in the region is
-        # diagonal-preserving (qgap == tgap), there are no indels to
-        # consolidate — the banded re-DP provably returns the same
-        # diagonal path (indel pairs cost more than the mismatches they
-        # would replace), so the job is skipped with identical output.
-        # SNP-dominated CCS reads hit this for most regions; the
-        # reference re-DPs them anyway (IndelRefine.h:133-165) and gets
-        # the same blocks back.
-        if all(seg.blocks[j + 1][0] - (seg.blocks[j][0] + seg.blocks[j][2])
-               == seg.blocks[j + 1][1] - (seg.blocks[j][1] + seg.blocks[j][2])
-               for j in range(lo, hi)):
-            continue
+        if diag_ok:
+            mm_total = 0
+            diagonal = True
+            for j in range(lo, hi):
+                q0, t0, l0 = seg.blocks[j]
+                q1, t1, _ = seg.blocks[j + 1]
+                if q1 - (q0 + l0) != t1 - (t0 + l0):
+                    diagonal = False
+                    break
+                mm_total += int(np.count_nonzero(
+                    read[q0 + l0:q1] != chrom[t0 + l0:t1]))
+                if mm_total > 1:
+                    break
+            if diagonal and mm_total <= 1:
+                continue
         # long flanking blocks stay fixed; only their trailing/leading
         # max_gap bases enter the window (reference: IndelRefine.h:175-205)
         q0, t0, ln0 = seg.blocks[lo]

@@ -157,17 +157,7 @@ def find_matches(read_codes: np.ndarray, index: GlobalIndex, opts: Options):
 
     Equivalent of StoreMinimizers + sort + CompareLists +
     SeparateMatchesByStrand (reference: MapRead.h:169-203).
+    Delegates to the batched implementation so the cap/expand semantics
+    live in exactly one place.
     """
-    rt, rp, rs = minimizers(read_codes, index.k, opts.global_w, canonical=True)
-    # index.pos stays uint32 — matched rows are gathered then widened, so
-    # no whole-index copy per read (3M+ elements on a 50Mb genome)
-    qpos, tpos, freq, is_rev = match_minimizer_lists(
-        rt, rp.astype(np.int64), index.tuples, index.pos,
-        opts.global_max_freq, t_freqs=index.freqs,
-        q_strand=rs, t_strand=index.strand,
-    )
-    if is_rev is None:
-        is_rev = np.zeros(len(qpos), dtype=bool)
-    fwd = Matches(qpos[~is_rev], tpos[~is_rev], freq[~is_rev])
-    rev = Matches(qpos[is_rev], tpos[is_rev], freq[is_rev])
-    return fwd, rev
+    return find_matches_batch([read_codes], index, opts)[0]

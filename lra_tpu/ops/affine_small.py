@@ -87,10 +87,8 @@ def solve_small_jobs(qs: list, ts: list, m: int, mm: int, ind: int,
             break
         i0 = np.maximum(ci - 1, 0)
         j0 = np.maximum(cj - 1, 0)
-        hdiag = np.where((ci > 0) & (cj > 0), H[n_idx, i0, j0], NEG)
         hup = np.where(ci > 0, H[n_idx, i0, cj], NEG)
         hleft = np.where(cj > 0, H[n_idx, ci, j0], NEG)
-        sub = np.where(q[n_idx, i0] == t[n_idx, j0], m, mm)
         cur = H[n_idx, ci, cj]
         # device-kernel tie order (affine_kernel.py:99-105, the
         # reference's): ins (consume q) > del (consume t) > diagonal

@@ -34,47 +34,56 @@ def init_process(nproc: int, procid: int, out: str,
     return procid, nproc, shard_out
 
 
-def _read_groups(lines):
-    """Split SAM body lines into per-read record groups (records of one
-    read are written consecutively; QNAME marks the boundary)."""
-    groups = []
+def _group_iter(f):
+    """Yield per-read record groups from an open SAM file (records of
+    one read are written consecutively; QNAME marks the boundary)."""
     cur_name = None
-    for ln in lines:
+    group: list = []
+    for ln in f:
+        ln = ln.rstrip("\n")
+        if not ln or ln.startswith("@"):
+            continue
         name = ln.split("\t", 1)[0]
-        if name != cur_name:
-            groups.append([])
-            cur_name = name
-        groups[-1].append(ln)
-    return groups
+        if name != cur_name and group:
+            yield group
+            group = []
+        cur_name = name
+        group.append(ln)
+    if group:
+        yield group
 
 
 def merge_shards(shard_paths: list, out_file) -> int:
     """Merge stride-sharded SAM files back into single-process order.
 
-    shard_paths must be ordered by procid.  Returns #reads merged."""
+    Streaming: one record group per shard is in memory at a time, so
+    multi-GB shards merge in O(1) memory.  shard_paths must be ordered
+    by procid.  Returns #reads merged."""
+    from contextlib import ExitStack
+
     nproc = len(shard_paths)
-    headers = []
-    shard_groups = []
-    for i, path in enumerate(shard_paths):
-        with open(path) as f:
-            lines = f.read().splitlines()
-        body = [ln for ln in lines if ln and not ln.startswith("@")]
-        if i == 0:
-            headers = [ln for ln in lines if ln.startswith("@")]
-        shard_groups.append(_read_groups(body))
-    for h in headers:
-        out_file.write(h + "\n")
+    with open(shard_paths[0]) as f0:
+        for ln in f0:
+            if not ln.startswith("@"):
+                break
+            out_file.write(ln if ln.endswith("\n") else ln + "\n")
     n = 0
-    idx = [0] * nproc
-    k = 0
-    remaining = sum(len(g) for g in shard_groups)
-    while remaining:
-        s = k % nproc
-        if idx[s] < len(shard_groups[s]):
-            for ln in shard_groups[s][idx[s]]:
-                out_file.write(ln + "\n")
-            idx[s] += 1
-            n += 1
-            remaining -= 1
-        k += 1
+    with ExitStack() as stack:
+        iters = [_group_iter(stack.enter_context(open(p)))
+                 for p in shard_paths]
+        done = [False] * nproc
+        remaining = nproc
+        k = 0
+        while remaining:
+            s = k % nproc
+            if not done[s]:
+                group = next(iters[s], None)
+                if group is None:
+                    done[s] = True
+                    remaining -= 1
+                else:
+                    for ln in group:
+                        out_file.write(ln + "\n")
+                    n += 1
+            k += 1
     return n

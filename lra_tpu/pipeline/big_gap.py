@@ -24,7 +24,7 @@ per-read walk; here the 3rd SDP is one more batched device stage.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

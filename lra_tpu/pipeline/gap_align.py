@@ -48,6 +48,23 @@ def _size_bucket(n: int) -> int:
     return _pow2_at_least(n, 4096)
 
 
+def diag_gap_guard(opts) -> bool:
+    """Scoring condition under which a single mismatch strictly beats
+    any ins+del alternative: converting the mismatch gains (m - mm) but
+    costs 2|indel| plus one unalignable base's match (m), so the
+    diagonal is strictly optimal for <= 1 mismatch iff |mm| < 2|ind|.
+    Shared by every trivial-diagonal fast path (gap jobs, inline
+    assembly gaps, indel-refine regions) so the rule cannot drift."""
+    return abs(opts.local_mismatch) < 2 * abs(opts.local_indel)
+
+
+def trivial_diag_gap(q: np.ndarray, t: np.ndarray) -> bool:
+    """Equal-length, <= 1 mismatch: diagonal provably optimal (given
+    diag_gap_guard); the result is the single block [(0, 0, len)]."""
+    return len(q) == len(t) and \
+        int(np.count_nonzero(q != t)) <= 1
+
+
 @dataclass
 class GapJob:
     q: np.ndarray          # read codes of the gap (strand frame)
@@ -69,12 +86,9 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
     """
     import jax.numpy as jnp
 
-    # equal-length gaps with <=1 mismatch: the diagonal path is provably
-    # optimal (any alternative needs an ins+del pair, and with
-    # 2*|indel| > |mismatch| plus one unalignable base it scores
-    # strictly worse), so the job resolves inline — SNP-separated anchor
-    # gaps are the bulk of a CCS batch's jobs
-    diag_ok = 2 * abs(opts.local_indel) > abs(opts.local_mismatch)
+    # equal-length gaps with <=1 mismatch resolve inline (diag_gap_guard
+    # proof) — SNP-separated anchor gaps are the bulk of a CCS batch
+    diag_ok = diag_gap_guard(opts)
 
     device_jobs: dict = {}
     small_jobs: list = []
@@ -83,8 +97,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
         if ql == 0 or tl == 0:
             job.blocks = []
             continue
-        if diag_ok and ql == tl and \
-                int(np.count_nonzero(job.q != job.t)) <= 1:
+        if diag_ok and trivial_diag_gap(job.q, job.t):
             job.blocks = [(0, 0, ql)]
             continue
         drift = abs(ql - tl)

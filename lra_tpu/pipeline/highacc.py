@@ -52,7 +52,8 @@ from ..index.global_index import GlobalIndex
 from ..io.genome import Genome
 from ..ops.gapcost import from_options
 from ..options import Options
-from .gap_align import GapJob, solve_gap_jobs
+from .gap_align import (GapJob, diag_gap_guard, solve_gap_jobs,
+                        trivial_diag_gap)
 from .refine import refine_btwn_clusters_chain, refine_clusters
 
 
@@ -695,7 +696,7 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
         seg.second_sdp_value = ac.second_sdp_value
         seg.is_supplementary = bi > 0 or len(group.segments) > 0
         read = st.rc if strand == 1 else st.codes
-        diag_ok = 2 * abs(opts.local_indel) > abs(opts.local_mismatch)
+        diag_ok = diag_gap_guard(opts)
 
         # vectorized pre-classification of trivial gaps (valid while no
         # overlap clip has occurred — clips change downstream ends):
@@ -712,6 +713,10 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
             r_arr = vq[1:] - pe_q[:-1]
             t_arr = vt[1:] - pe_t[:-1]
             eqg = (r_arr == t_arr) & (r_arr > 0)
+            if opts.refine_by_sdp and gp is not None:
+                # >=300bp gaps take the deferred big-gap branch and
+                # never consult the mask; don't pay their base compares
+                eqg &= r_arr < 300
             gidx = np.nonzero(eqg)[0]
             if len(gidx):
                 lens = r_arr[gidx]
@@ -792,10 +797,9 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                     # is valid until the first overlap clip.
                     if not clipped and trivial_gap[i - 1]:
                         seg.blocks.append((prev_q_end, prev_t_end, rgap))
-                    elif clipped and diag_ok and rgap == tgap and \
-                            int(np.count_nonzero(
-                                read[prev_q_end:bq]
-                                != chrom_codes[prev_t_end:bt])) <= 1:
+                    elif clipped and diag_ok and trivial_diag_gap(
+                            read[prev_q_end:bq],
+                            chrom_codes[prev_t_end:bt]):
                         seg.blocks.append((prev_q_end, prev_t_end, rgap))
                     else:
                         gap_jobs.append(GapJob(
