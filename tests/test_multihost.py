@@ -63,3 +63,22 @@ def test_two_process_shards_merge_to_single(world):
     single = _strip_pg((d / "single.sam").read_text())
     merged = _strip_pg((d / "merged.sam").read_text())
     assert merged == single
+
+
+def test_two_process_jax_distributed(world):
+    """Same run with a real jax.distributed coordinator: both processes
+    join one distributed runtime (the multi-host pod-slice wiring) and
+    still produce the stride shards."""
+    d = world
+    port = 19841
+    p0 = _run(d, ["--nproc", "2", "--procid", "0",
+                  "--distributed", f"127.0.0.1:{port}"], "dist.sam")
+    p1 = _run(d, ["--nproc", "2", "--procid", "1",
+                  "--distributed", f"127.0.0.1:{port}"], "dist.sam")
+    assert p0.wait(timeout=600) == 0
+    assert p1.wait(timeout=600) == 0
+    s0 = _strip_pg((d / "dist.sam.shard0").read_text())
+    s1 = _strip_pg((d / "dist.sam.shard1").read_text())
+    n0 = sum(1 for ln in s0 if not ln.startswith("@"))
+    n1 = sum(1 for ln in s1 if not ln.startswith("@"))
+    assert n0 + n1 >= 9  # all reads accounted for across shards
