@@ -114,6 +114,26 @@ def find_matches_batch(reads_codes: list, index: GlobalIndex,
     qt = np.concatenate([t for (t, _, _) in per_read])
     qp = np.concatenate([p for (_, p, _) in per_read]).astype(np.int64)
     qs = np.concatenate([s for (_, _, s) in per_read])
+
+    # native single-pass intersection (bit-identical output order)
+    from . import native
+    if native.available():
+        read_off = np.concatenate([[0], np.cumsum(counts)])
+        res = native.match_batch(qt, qp.astype(np.uint32), qs, read_off,
+                                 index.tuples, index.pos, index.strand,
+                                 index.freqs, opts.global_max_freq)
+        if res is not None:
+            qpos_a, tpos_a, freq_a, is_rev_a, rstart = res
+            out = []
+            for r in range(n):
+                s, e = int(rstart[r]), int(rstart[r + 1])
+                ir = is_rev_a[s:e]
+                out.append((Matches(qpos_a[s:e][~ir], tpos_a[s:e][~ir],
+                                    freq_a[s:e][~ir]),
+                            Matches(qpos_a[s:e][ir], tpos_a[s:e][ir],
+                                    freq_a[s:e][ir])))
+            return out
+
     rid = np.repeat(np.arange(n, dtype=np.int64), counts)
 
     order = np.lexsort((qt, rid))      # rid-major, tuple-minor

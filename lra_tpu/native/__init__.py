@@ -30,8 +30,9 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
-        _try_build()
+    # always invoke make: a no-op when fresh, a rebuild when the source
+    # is newer than a stale .so
+    _try_build()
     if not os.path.exists(_SO):
         _lib = False
         return _lib
@@ -74,6 +75,13 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.lrn_match_batch.restype = ctypes.c_int64
+    lib.lrn_match_batch.argtypes = (
+        [ctypes.c_void_p] * 3 + [ctypes.c_int64]
+        + [ctypes.c_void_p, ctypes.c_int64]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 2
+        + [ctypes.c_void_p] * 5 + [ctypes.c_int64]
+    )
     lib.lrn_local_reseed.restype = ctypes.c_int64
     lib.lrn_local_reseed.argtypes = (
         [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 3
@@ -243,6 +251,55 @@ def local_reseed(genome_li, rli, ls: int, le: int, chrom_off: int,
         if cnt >= 0:
             return oq[:cnt].copy(), ot[:cnt].copy()
         cap *= 4
+
+
+def match_batch(qt, qp, qs, read_off, it, ip, istr, ifr, max_freq):
+    """Native batched anchor intersection (CompareLists analog).
+
+    qt/qp/qs: concatenated per-read minimizer tuples/positions/strands;
+    read_off: int64[n_reads+1] read boundaries; it/ip/istr/ifr: the
+    sorted global index arrays.  Returns (qpos, tpos, freq, is_rev,
+    read_start) matching anchors.find_matches_batch's numpy path
+    bit-for-bit, or None if the native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    qt = np.ascontiguousarray(qt, np.uint64)
+    qp = np.ascontiguousarray(qp, np.uint32)
+    qs = np.ascontiguousarray(qs, np.uint8)
+    read_off = np.ascontiguousarray(read_off, np.int64)
+    # no-ops when the index is already in its native layout
+    it = np.ascontiguousarray(it, np.uint64)
+    ip = np.ascontiguousarray(ip, np.uint32)
+    istr = np.ascontiguousarray(istr, np.uint8)
+    ifr = np.ascontiguousarray(ifr, np.int32)
+    n_reads = len(read_off) - 1
+    cap = max(1024, 4 * len(qt))
+    for _ in range(2):
+        qpos = np.empty(cap, np.int64)
+        tpos = np.empty(cap, np.int64)
+        freq = np.empty(cap, np.int64)
+        rev = np.empty(cap, np.uint8)
+        rstart = np.empty(n_reads + 1, np.int64)
+        n = lib.lrn_match_batch(
+            qt.ctypes.data_as(ctypes.c_void_p),
+            qp.ctypes.data_as(ctypes.c_void_p),
+            qs.ctypes.data_as(ctypes.c_void_p), len(qt),
+            read_off.ctypes.data_as(ctypes.c_void_p), n_reads,
+            it.ctypes.data_as(ctypes.c_void_p),
+            ip.ctypes.data_as(ctypes.c_void_p),
+            istr.ctypes.data_as(ctypes.c_void_p),
+            ifr.ctypes.data_as(ctypes.c_void_p), len(it), max_freq,
+            qpos.ctypes.data_as(ctypes.c_void_p),
+            tpos.ctypes.data_as(ctypes.c_void_p),
+            freq.ctypes.data_as(ctypes.c_void_p),
+            rev.ctypes.data_as(ctypes.c_void_p),
+            rstart.ctypes.data_as(ctypes.c_void_p), cap)
+        if n >= 0:
+            return (qpos[:n], tpos[:n], freq[:n], rev[:n].astype(bool),
+                    rstart)
+        cap = -n
+    return None
 
 
 def counting_argsort_i32(keys: np.ndarray, max_range: int = 1 << 20):

@@ -497,4 +497,64 @@ int64_t lrn_linear_extend(const uint8_t* read, int64_t /*qlen*/,
   return cnt;
 }
 
+// Batched global-index anchor intersection (the CompareLists analog,
+// reference: CompareLists.h:9): for each read, its minimizers are
+// stable-sorted by tuple, per-read multiplicity runs over the read
+// minimizers are capped at max_freq, surviving tuples binary-search the
+// sorted index and expand every hit.  Output order matches the numpy
+// implementation in anchors.find_matches_batch exactly (rid-major,
+// tuple-minor with stable ties, hits in index row order) so downstream
+// stable sorts see identical tie ordering.  Returns the total match
+// count, or -(needed) when `cap` is insufficient.
+int64_t lrn_match_batch(
+    const uint64_t* qt, const uint32_t* qp, const uint8_t* qs, int64_t nq,
+    const int64_t* read_off, int64_t n_reads,
+    const uint64_t* it, const uint32_t* ip, const uint8_t* istr,
+    const int32_t* ifr, int64_t ni, int64_t max_freq,
+    int64_t* out_qpos, int64_t* out_tpos, int64_t* out_freq,
+    uint8_t* out_rev, int64_t* out_read_start, int64_t cap) {
+  std::vector<int64_t> order;
+  int64_t total = 0;
+  bool fits = true;
+  for (int64_t r = 0; r < n_reads; r++) {
+    out_read_start[r] = total;
+    int64_t lo = read_off[r], hi = read_off[r + 1];
+    order.resize(hi - lo);
+    for (int64_t i = lo; i < hi; i++) order[i - lo] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return qt[a] < qt[b]; });
+    int64_t m = 0, n = (int64_t)order.size();
+    while (m < n) {
+      int64_t e = m + 1;
+      while (e < n && qt[order[e]] == qt[order[m]]) e++;
+      if (e - m <= max_freq) {
+        const uint64_t key = qt[order[m]];
+        const uint64_t* l = std::lower_bound(it, it + ni, key);
+        const uint64_t* u = std::upper_bound(l, it + ni, key);
+        if (u > l) {
+          int64_t ilo = l - it, icnt = u - l;
+          for (int64_t o = m; o < e; o++) {
+            int64_t occ = order[o];
+            for (int64_t k = 0; k < icnt; k++) {
+              if (total < cap) {
+                int64_t row = ilo + k;
+                out_qpos[total] = (int64_t)qp[occ];
+                out_tpos[total] = (int64_t)ip[row];
+                out_freq[total] = (int64_t)ifr[row];
+                out_rev[total] = qs[occ] != istr[row];
+              } else {
+                fits = false;
+              }
+              total++;
+            }
+          }
+        }
+      }
+      m = e;
+    }
+  }
+  out_read_start[n_reads] = total;
+  return fits ? total : -total;
+}
+
 }  // extern "C"

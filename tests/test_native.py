@@ -200,3 +200,36 @@ def test_native_local_reseed_matches_python(rng):
             assert np.array_equal(ca.tpos, cb.tpos)
             checked += 1
     assert checked
+
+
+def test_native_match_batch_matches_numpy(rng):
+    """lrn_match_batch must be bit-identical (values AND order) to the
+    numpy intersection in anchors.find_matches_batch."""
+    from lra_tpu import native, preset
+    from lra_tpu.anchors import find_matches_batch
+    from lra_tpu.index.global_index import build_global_index
+    from lra_tpu.io.genome import Genome
+    from lra_tpu.sim import random_genome, sample_read
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    g = random_genome(rng, 150000)
+    genome = Genome.from_seqs([("chr1", g)])
+    opts = preset("ccs")
+    idx = build_global_index(genome, opts)
+    reads = [sample_read(rng, g, 3000, snp=0.01).codes for _ in range(6)]
+    reads.append(np.zeros(10, np.uint8))          # shorter than k
+    nat = find_matches_batch(reads, idx, opts)
+    real = native._lib
+    native._lib = False
+    try:
+        ref = find_matches_batch(reads, idx, opts)
+    finally:
+        native._lib = real
+    assert len(nat) == len(ref)
+    for (nf, nr), (rf, rr) in zip(nat, ref):
+        for a, b in ((nf, rf), (nr, rr)):
+            np.testing.assert_array_equal(a.qpos, b.qpos)
+            np.testing.assert_array_equal(a.tpos, b.tpos)
+            np.testing.assert_array_equal(a.freq, b.freq)
