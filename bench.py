@@ -95,53 +95,90 @@ def run(n_reads=N_READS, read_len=8000, genome_len=2_000_000, device=True,
     return n_reads / best, mapped, best
 
 
-def run_reference(workdir, n_reads):
-    ref = build_reference()
-    if ref is None:
-        return None
-    try:
-        subprocess.run([ref, "index", "-CCS", "ref.fa"], cwd=workdir,
-                       check=True, capture_output=True, timeout=300)
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            out = subprocess.run(
-                [ref, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1",
-                 "-p", "s"],
-                cwd=workdir, capture_output=True, timeout=600)
-            dt = time.time() - t0
-            if out.returncode != 0:
-                return None
-            if best is None or dt < best:
-                best = dt
-        return n_reads / best
-    except Exception:
-        return None
+def _time_ours(once):
+    t0 = time.time()
+    once()
+    return time.time() - t0
+
+
+def _time_reference(ref, workdir):
+    t0 = time.time()
+    out = subprocess.run(
+        [ref, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1", "-p", "s"],
+        cwd=workdir, capture_output=True, timeout=600)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-300:])
+    return time.time() - t0
 
 
 def main():
+    """Interleaved A/B measurement: this host's throughput drifts ~25%
+    run to run, so ours and the reference's timed runs alternate (both
+    sample the same machine states) and each side takes its best."""
     import tempfile
 
-    from lra_tpu import enable_compile_cache
+    from lra_tpu import enable_compile_cache, preset
+    from lra_tpu.index.global_index import build_global_index
+    from lra_tpu.io.genome import Genome
+    from lra_tpu.pipeline.stream import align_stream
+    from lra_tpu.sim import random_genome, sample_read
+
     enable_compile_cache()
     workdir = tempfile.mkdtemp(prefix="lra_bench_")
-    reads_per_s, mapped, dt = run(device=True, materialize=workdir)
-    ref_rps = run_reference(workdir, N_READS)
-    if ref_rps:
-        baseline = reads_per_s / ref_rps
-        unit = ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, 2x256 "
-                f"pipelined; baseline = reference lra -t 1 on this host "
-                f"at {ref_rps:.1f} reads/s)")
-    else:
-        host_rps, _, _ = run(device=False)
-        baseline = reads_per_s / host_rps if host_rps else 0.0
-        unit = ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, 2x256 "
-                "pipelined; baseline = host-numpy pipeline)")
+    rng = np.random.default_rng(0)
+    genome = Genome.from_seqs([("chr1", random_genome(rng, 2_000_000))])
+    opts = preset("ccs")
+    idx = build_global_index(genome, opts)
+    reads = [(f"r{i}", sample_read(rng, genome.codes, 8000, snp=0.003,
+                                   ins=0.001, dele=0.001).codes)
+             for i in range(N_READS)]
+    from lra_tpu import seq as sequtils
+    with open(os.path.join(workdir, "ref.fa"), "w") as f:
+        f.write(">chr1\n" + sequtils.decode(genome.codes) + "\n")
+    with open(os.path.join(workdir, "reads.fa"), "w") as f:
+        for name, codes in reads:
+            f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
+    batches = [reads[i:i + 256] for i in range(0, N_READS, 256)]
+
+    def once():
+        for _ in align_stream(batches, genome, idx, opts,
+                              use_device=True, workers=2):
+            pass
+
+    ref = build_reference()
+    once()  # warm-up (compiles cached persistently)
+    if ref is not None:
+        try:
+            subprocess.run([ref, "index", "-CCS", "ref.fa"], cwd=workdir,
+                           check=True, capture_output=True, timeout=300)
+            ours_best, ref_best = None, None
+            for _ in range(4):
+                dt = _time_ours(once)
+                ours_best = dt if ours_best is None else min(ours_best, dt)
+                dr = _time_reference(ref, workdir)
+                ref_best = dr if ref_best is None else min(ref_best, dr)
+            reads_per_s = N_READS / ours_best
+            ref_rps = N_READS / ref_best
+            print(json.dumps({
+                "metric": "ccs_reads_per_s_e2e",
+                "value": round(reads_per_s, 3),
+                "unit": ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, "
+                         "2x256 pipelined, A/B-interleaved best-of-4; "
+                         "baseline = reference lra -t 1 on this host at "
+                         f"{ref_rps:.1f} reads/s)"),
+                "vs_baseline": round(reads_per_s / ref_rps, 3),
+            }))
+            return
+        except Exception:
+            pass
+    reads_per_s, _, _ = run(device=True)
+    host_rps, _, _ = run(device=False)
     print(json.dumps({
         "metric": "ccs_reads_per_s_e2e",
         "value": round(reads_per_s, 3),
-        "unit": unit,
-        "vs_baseline": round(baseline, 3),
+        "unit": ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, 2x256 "
+                 "pipelined; baseline = host-numpy pipeline)"),
+        "vs_baseline": round(reads_per_s / host_rps, 3) if host_rps else 0.0,
     }))
 
 
