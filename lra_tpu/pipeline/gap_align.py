@@ -36,9 +36,11 @@ def _pallas_ok() -> bool:
         _PALLAS_OK[0] = jax.default_backend() == "tpu"
     return _PALLAS_OK[0]
 
-# coarse on purpose: every (K, S) class is a separate device dispatch +
-# download, and on the tunneled TPU a download has a ~28ms latency floor
-_SIZE_BUCKETS = (64, 512, 2048)
+# every (K, S) class is a separate dispatch, but dispatches are async
+# and all planes merge into ONE download, so finer size classes cost a
+# ~1.5ms dispatch each while halving the scan length of mid-size jobs
+# (a 70bp ONT gap in an S=512 slot pays a 7x longer sequential scan)
+_SIZE_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 
 def _size_bucket(n: int) -> int:
