@@ -56,10 +56,12 @@ def plan_refine_regions(seg, opts: Options):
             # span cap: a very noisy read can otherwise chain most of its
             # blocks into one region, creating device jobs of unbounded
             # length (each a fresh compile + a long sequential scan);
-            # consolidation within 2kb windows loses nothing material
+            # consolidation within 1kb windows is still ~30x wider than
+            # the reference's refine band (the scale at which it merges
+            # nearby indels, IndelRefine.h:133-165)
             span = qn + ln_n - blocks[i][0]
             if qgap < max_gap and tgap < max_gap and \
-               (j == i or blocks[j][2] < 100) and span <= 2048:
+               (j == i or blocks[j][2] < 100) and span <= 1024:
                 j += 1
             else:
                 break
