@@ -6,6 +6,8 @@ Mirrors the reference binary's subcommands (reference: lra.cpp:1029-1068):
   lra_tpu align ref.fa reads.fa -CCS ...          align reads -> SAM/PAF
   lra_tpu simulate ref.fa [-c COV|-n N] [--model aln.sam]  simulate reads
   lra_tpu callsv ref.fa aln.sam [--min-length 25]  SV calls -> VCF
+  lra_tpu merge out.shard0 out.shard1 ... -o out  reassemble --nproc shards
+  lra_tpu qti ref.fa reads.fa -CCS                query-time benchmark
 
 (`global` and `local` build each index separately, as in the reference.)
 
