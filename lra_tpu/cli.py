@@ -207,9 +207,20 @@ def cmd_align(argv) -> int:
 
     def gen_batches():
         batch = []
+        prev_name = None
         for i, rec in enumerate(read_seqs(args.reads)):
             if i < args.start or (i - args.start) % args.stride != 0:
                 continue
+            if args.nproc > 1:
+                # merge_shards delimits record groups by QNAME change;
+                # two same-named reads adjacent in this shard would fuse
+                # into one group and silently misalign the interleave
+                if rec.name == prev_name:
+                    raise SystemExit(
+                        f"duplicate read name {rec.name!r} adjacent in "
+                        "shard — --nproc runs need unique read names "
+                        "(merge delimits record groups by QNAME)")
+                prev_name = rec.name
             batch.append((rec.name, rec.seq, rec.qual,
                           getattr(rec, "passthrough", None)))
             if len(batch) >= args.batch:

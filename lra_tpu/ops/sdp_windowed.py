@@ -24,7 +24,16 @@ the reference's ~4.7k-LoC divide-and-conquer (SparseDP.h:1834-1837).
 Instead W is sized so the near window's q-span exceeds the reference's own
 ``splitdist`` (50k, Options.h:191): a missed-by-both-terms predecessor is
 q-distant AND diag-unsaturated, i.e. a chain edge the reference's
-SPLITChain would cut anyway.  Scores are never overestimated.
+SPLITChain would cut anyway.  A second, block-granularity miss also
+exists: the far insertion schedule admits fragment j only once
+``qE_j <= qS[block_start]``, so a predecessor older than W by q-rank
+whose anchor still overlaps the current block in q (qE_j > qS[b0]) is
+visible to NEITHER term for the rows of that block.  Such a fragment is
+a >W-rank-distant anchor long enough to span back into the current
+block — it becomes visible again from the next block on, so the effect
+is confined to one L-row block per long anchor.  Both misses only ever
+LOWER a chain score (an edge goes unseen); scores are never
+overestimated.
 
 Backpointers: near/in-block predecessors by index, far predecessors as
 sentinels FAR1/FAR2 that the host resolves during traceback (it knows V

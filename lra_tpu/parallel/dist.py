@@ -11,9 +11,12 @@ sharding (reference: lra.cpp:110-112,227-234) — made first-class:
   domain (the genome/index stay replicated per host; kernel batches stay
   process-local — read data-parallelism needs no cross-process
   collectives, exactly like the reference's independent jobs).
-* ``merge_shards`` reconstructs the single-process SAM byte-for-byte:
-  header from shard 0, then per-read record groups interleaved
-  round-robin (shard ``k % nproc`` owns read ``k``).
+* ``merge_shards`` reconstructs the single-process SAM byte-for-byte
+  *modulo the @PG header line* (which embeds the per-process command
+  line): header from shard 0, then per-read record groups interleaved
+  round-robin (shard ``k % nproc`` owns read ``k``).  Group boundaries
+  are QNAME changes, so the aligner rejects inputs whose shard would
+  place two same-named reads back to back (see cli.gen_batches).
 """
 
 from __future__ import annotations
@@ -24,6 +27,12 @@ def init_process(nproc: int, procid: int, out: str,
     """Returns (start, stride, shard_out_path) for this process."""
     if not (0 <= procid < nproc):
         raise ValueError(f"procid {procid} not in [0, {nproc})")
+    if nproc > 1 and out == "-":
+        # every process writing SAM to its own stdout leaves nothing for
+        # `lra_tpu merge` and fails silently — require a real path
+        raise ValueError(
+            "--nproc > 1 needs an explicit -o FILE (each process writes "
+            "FILE.shardN; merge with `lra_tpu merge`)")
     if coordinator:
         import jax
 
@@ -58,7 +67,8 @@ def merge_shards(shard_paths: list, out_file) -> int:
 
     Streaming: one record group per shard is in memory at a time, so
     multi-GB shards merge in O(1) memory.  shard_paths must be ordered
-    by procid.  Returns #reads merged."""
+    by procid; a wrong order or a missing shard is detected after the
+    fact via the round-robin count invariant.  Returns #reads merged."""
     from contextlib import ExitStack
 
     nproc = len(shard_paths)
@@ -68,6 +78,7 @@ def merge_shards(shard_paths: list, out_file) -> int:
                 break
             out_file.write(ln if ln.endswith("\n") else ln + "\n")
     n = 0
+    counts = [0] * nproc
     with ExitStack() as stack:
         iters = [_group_iter(stack.enter_context(open(p)))
                  for p in shard_paths]
@@ -84,6 +95,17 @@ def merge_shards(shard_paths: list, out_file) -> int:
                 else:
                     for ln in group:
                         out_file.write(ln + "\n")
+                    counts[s] += 1
                     n += 1
             k += 1
+    # round-robin invariant: shard s holds reads s, s+nproc, ... so
+    # counts must be non-increasing with count[0]-count[last] <= 1;
+    # a violation means shards were passed out of procid order or one
+    # is truncated/missing
+    if any(counts[s] < counts[s + 1] for s in range(nproc - 1)) or \
+            (nproc > 1 and counts[0] - counts[-1] > 1):
+        raise ValueError(
+            f"shard read counts {counts} violate the round-robin "
+            "invariant — shards out of procid order, or a shard is "
+            "missing/truncated; pass FILE.shard0 FILE.shard1 ... in order")
     return n

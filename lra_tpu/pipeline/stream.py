@@ -24,12 +24,18 @@ def align_stream(batches, genome, index, opts, use_device=True,
     """Yield (states, sam_lines) per batch, in order.
 
     batches: iterable of read batches (each a list of read tuples).
-    workers <= 1, or a timing/dots collector, degrades to sequential
-    execution (the collectors are not thread-safe).
+    workers <= 1, or a dots collector, degrades to sequential execution
+    (per-read dot dumps are not thread-safe; Timing IS thread-safe and
+    rides the pipelined path).
     """
     from . import align_reads
 
-    if workers <= 1 or timing is not None or dots is not None:
+    if workers > 1 and dots is not None:
+        import sys
+
+        print("lra_tpu: -d dotplot collector active -> running batches "
+              "sequentially (-t has no effect this run)", file=sys.stderr)
+    if workers <= 1 or dots is not None:
         for batch in batches:
             yield align_reads(batch, genome, index, opts,
                               use_device=use_device, genome_li=genome_li,
@@ -49,7 +55,8 @@ def align_stream(batches, genome, index, opts, use_device=True,
                     break
                 pending.append(pool.submit(
                     align_reads, batch, genome, index, opts,
-                    use_device=use_device, genome_li=genome_li))
+                    use_device=use_device, genome_li=genome_li,
+                    timing=timing))
             if not pending:
                 break
             yield pending.popleft().result()

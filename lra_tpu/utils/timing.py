@@ -4,10 +4,18 @@
 ``merge`` combines instances (the reference merges per-thread timers,
 lra.cpp:708-713); ``write`` emits the --timing report.  Batch pipelines
 tick once per stage per batch.
+
+Thread-safe: the in-flight stage timestamp is thread-local (each worker
+thread of a pipelined ``align_stream`` measures its own batch's stage
+deltas), and the shared totals are mutated under a lock — so ``--timing``
+reports accumulated per-batch stage time even when batches overlap.  In a
+pipelined run the TOTAL therefore exceeds wall-clock (it sums concurrent
+threads, exactly like the reference's merged per-thread timers).
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import OrderedDict
 
@@ -16,25 +24,29 @@ class Timing:
     def __init__(self):
         self.totals: "OrderedDict[str, float]" = OrderedDict()
         self.counts: "OrderedDict[str, int]" = OrderedDict()
-        self._last = time.perf_counter()
+        self._tls = threading.local()
+        self._lock = threading.Lock()
 
     def start(self) -> None:
-        self._last = time.perf_counter()
+        self._tls.last = time.perf_counter()
 
     def tick(self, label: str) -> None:
         now = time.perf_counter()
-        self.totals[label] = self.totals.get(label, 0.0) + (now - self._last)
-        self.counts[label] = self.counts.get(label, 0) + 1
-        self._last = now
+        last = getattr(self._tls, "last", now)
+        self.add(label, now - last)
+        self._tls.last = now
 
     def add(self, label: str, seconds: float) -> None:
-        self.totals[label] = self.totals.get(label, 0.0) + seconds
-        self.counts[label] = self.counts.get(label, 0) + 1
+        with self._lock:
+            self.totals[label] = self.totals.get(label, 0.0) + seconds
+            self.counts[label] = self.counts.get(label, 0) + 1
 
     def merge(self, other: "Timing") -> None:
-        for k, v in other.totals.items():
-            self.totals[k] = self.totals.get(k, 0.0) + v
-            self.counts[k] = self.counts.get(k, 0) + other.counts.get(k, 0)
+        with self._lock:
+            for k, v in other.totals.items():
+                self.totals[k] = self.totals.get(k, 0.0) + v
+                self.counts[k] = (self.counts.get(k, 0)
+                                  + other.counts.get(k, 0))
 
     def elapsed(self) -> float:
         return sum(self.totals.values())

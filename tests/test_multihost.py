@@ -65,6 +65,54 @@ def test_two_process_shards_merge_to_single(world):
     assert merged == single
 
 
+def test_merge_rejects_out_of_order_shards(tmp_path):
+    """Shards passed out of procid order violate the round-robin count
+    invariant and must fail loudly, not silently mis-interleave."""
+    from lra_tpu.parallel.dist import merge_shards
+
+    s0 = tmp_path / "x.shard0"
+    s1 = tmp_path / "x.shard1"
+    s0.write_text("@HD\tVN:1.6\nr0\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n"
+                  "r2\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n")
+    s1.write_text("@HD\tVN:1.6\nr1\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n")
+    import io
+
+    out = io.StringIO()
+    assert merge_shards([str(s0), str(s1)], out) == 3  # correct order ok
+    out = io.StringIO()
+    with pytest.raises(ValueError, match="round-robin"):
+        merge_shards([str(s1), str(s0)], out)
+
+
+def test_nproc_requires_output_file():
+    """--nproc > 1 with stdout output has no shard files to merge; the
+    failure must be immediate and explicit (advisor r2 finding)."""
+    from lra_tpu.parallel.dist import init_process
+
+    with pytest.raises(ValueError, match="-o FILE"):
+        init_process(2, 0, "-")
+
+
+def test_duplicate_qname_rejected(world):
+    """Two same-named reads adjacent in a shard would fuse into one merge
+    group; the aligner rejects them up front (advisor r2 finding)."""
+    d = world
+    text = (d / "reads.fa").read_text()
+    # append a read whose name collides with the one 2 strides earlier
+    # (same shard, adjacent): reads r0..r8, add another 'r7' at index 9
+    # -> shard1 (odd indices) sees r7 then r7
+    seq = text.splitlines()[1]
+    (d / "dup.fa").write_text(text + ">r7\n" + seq + "\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, "-m", "lra_tpu.cli", "align", "-CCS",
+         "ref.fa", "dup.fa", "--cpu", "--batch", "4", "-o", "dup.sam",
+         "--nproc", "2", "--procid", "1"],
+        cwd=d, env=env, capture_output=True, text=True, timeout=600)
+    assert p.returncode != 0
+    assert "duplicate read name" in (p.stderr + p.stdout)
+
+
 def test_two_process_jax_distributed(world):
     """Same run with a real jax.distributed coordinator: both processes
     join one distributed runtime (the multi-host pod-slice wiring) and
