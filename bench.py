@@ -101,72 +101,108 @@ def _time_ours(once):
     return time.time() - t0
 
 
-def _time_reference(ref, workdir):
+def _time_reference(ref, workdir, flag, reads_file):
     t0 = time.time()
     out = subprocess.run(
-        [ref, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1", "-p", "s"],
+        [ref, "align", flag, "ref.fa", reads_file, "-t", "1", "-p", "s"],
         cwd=workdir, capture_output=True, timeout=600)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-300:])
     return time.time() - t0
 
 
-def main():
-    """Interleaved A/B measurement: this host's throughput drifts ~25%
-    run to run, so ours and the reference's timed runs alternate (both
-    sample the same machine states) and each side takes its best."""
+def _setup_workload(kind, seed, n_reads, read_len, err, sub, workers=2):
+    """Build one benchmark workload: simulated genome+reads, our index,
+    a runner closure, and the on-disk FASTAs for the reference binary
+    (its own workdir — reference index files are preset-specific)."""
     import tempfile
 
-    from lra_tpu import enable_compile_cache, preset
+    from lra_tpu import preset, seq as sequtils
     from lra_tpu.index.global_index import build_global_index
     from lra_tpu.io.genome import Genome
     from lra_tpu.pipeline.stream import align_stream
     from lra_tpu.sim import random_genome, sample_read
 
-    enable_compile_cache()
-    workdir = tempfile.mkdtemp(prefix="lra_bench_")
-    rng = np.random.default_rng(0)
+    workdir = tempfile.mkdtemp(prefix=f"lra_bench_{kind}_")
+    rng = np.random.default_rng(seed)
     genome = Genome.from_seqs([("chr1", random_genome(rng, 2_000_000))])
-    opts = preset("ccs")
+    opts = preset(kind)
     idx = build_global_index(genome, opts)
-    reads = [(f"r{i}", sample_read(rng, genome.codes, 8000, snp=0.003,
-                                   ins=0.001, dele=0.001).codes)
-             for i in range(N_READS)]
-    from lra_tpu import seq as sequtils
+    snp, ind = err * 0.6, err * 0.2
+    reads = [(f"r{i}", sample_read(rng, genome.codes, read_len, snp=snp,
+                                   ins=ind, dele=ind).codes)
+             for i in range(n_reads)]
     with open(os.path.join(workdir, "ref.fa"), "w") as f:
         f.write(">chr1\n" + sequtils.decode(genome.codes) + "\n")
     with open(os.path.join(workdir, "reads.fa"), "w") as f:
         for name, codes in reads:
             f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
-    batches = [reads[i:i + 256] for i in range(0, N_READS, 256)]
+    batches = [reads[i:i + sub] for i in range(0, n_reads, sub)]
+
+    genome_li = None
+    if kind != "ccs":
+        from lra_tpu.index.local_index import build_genome_local_index
+        genome_li = build_genome_local_index(
+            genome, k=min(opts.local_k, 10), w=opts.local_w,
+            window=opts.local_index_window, max_freq=opts.local_max_freq)
 
     def once():
-        for _ in align_stream(batches, genome, idx, opts,
-                              use_device=True, workers=2):
+        for _ in align_stream(batches, genome, idx, opts, use_device=True,
+                              genome_li=genome_li, workers=workers):
             pass
 
+    return workdir, once
+
+
+def main():
+    """Interleaved A/B measurement on BOTH headline workloads (CCS and
+    ONT): this host's throughput drifts ~25% run to run, so ours and the
+    reference's timed runs alternate within each iteration (all four
+    sample the same machine states) and each side takes its best."""
+    from lra_tpu import enable_compile_cache
+
+    enable_compile_cache()
+    # CCS: 8kb x512 at 0.5% error; ONT: 12kb x256 at 5% error — the
+    # round-2 BASELINE.md configurations
+    ccs_dir, ccs_once = _setup_workload("ccs", 0, N_READS, 8000,
+                                        1.0 / 600 * 3, 256)
+    ont_n = 256
+    ont_dir, ont_once = _setup_workload("ont", 1, ont_n, 12000, 0.05, 128)
+
     ref = build_reference()
-    once()  # warm-up (compiles cached persistently)
+    ccs_once()  # warm-up (compiles cached persistently)
+    ont_once()
     if ref is not None:
         try:
-            subprocess.run([ref, "index", "-CCS", "ref.fa"], cwd=workdir,
-                           check=True, capture_output=True, timeout=300)
-            ours_best, ref_best = None, None
+            for d, flag in ((ccs_dir, "-CCS"), (ont_dir, "-ONT")):
+                subprocess.run([ref, "index", flag, "ref.fa"], cwd=d,
+                               check=True, capture_output=True, timeout=300)
+            best = {}
             for _ in range(4):
-                dt = _time_ours(once)
-                ours_best = dt if ours_best is None else min(ours_best, dt)
-                dr = _time_reference(ref, workdir)
-                ref_best = dr if ref_best is None else min(ref_best, dr)
-            reads_per_s = N_READS / ours_best
-            ref_rps = N_READS / ref_best
+                for key, fn in (("ccs", ccs_once), ("ont", ont_once)):
+                    dt = _time_ours(fn)
+                    best[key] = min(best.get(key, dt), dt)
+                for key, d, flag in (("ccs_ref", ccs_dir, "-CCS"),
+                                     ("ont_ref", ont_dir, "-ONT")):
+                    dr = _time_reference(ref, d, flag, "reads.fa")
+                    best[key] = min(best.get(key, dr), dr)
+            ccs_rps = N_READS / best["ccs"]
+            ccs_ref = N_READS / best["ccs_ref"]
+            ont_rps = ont_n / best["ont"]
+            ont_ref = ont_n / best["ont_ref"]
+            r_ccs = ccs_rps / ccs_ref
+            r_ont = ont_rps / ont_ref
             print(json.dumps({
-                "metric": "ccs_reads_per_s_e2e",
-                "value": round(reads_per_s, 3),
-                "unit": ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, "
-                         "2x256 pipelined, A/B-interleaved best-of-4; "
-                         "baseline = reference lra -t 1 on this host at "
-                         f"{ref_rps:.1f} reads/s)"),
-                "vs_baseline": round(reads_per_s / ref_rps, 3),
+                "metric": "ccs+ont_reads_per_s_e2e",
+                "value": round(ccs_rps, 3),
+                "unit": ("reads/s CCS (8kb x512, 2Mb genome, 1 chip, 2x256"
+                         " pipelined, A/B-interleaved best-of-4; CCS "
+                         f"{r_ccs:.3f}x of reference lra -t 1 at "
+                         f"{ccs_ref:.1f} r/s; ONT 12kb 5%-err x256 2x128: "
+                         f"{ont_rps:.1f} r/s = {r_ont:.3f}x of reference "
+                         f"at {ont_ref:.1f} r/s; vs_baseline = min(CCS, "
+                         "ONT) ratio)"),
+                "vs_baseline": round(min(r_ccs, r_ont), 3),
             }))
             return
         except Exception:

@@ -115,7 +115,7 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
             continue
         drift = abs((q1 - q0) - (t1 - t0))
         band = opts.refine_band + drift
-        job = GapJob(read[q0:q1].copy(), chrom[t0:t1].copy(),
+        job = GapJob(read[q0:q1], chrom[t0:t1],
                      key_prefix + (lo, hi, q0, t0, trim0, keep1))
         job.band = band
         jobs.append(job)

@@ -77,15 +77,17 @@ def _shard_problem(p: "ChainProblem", shard_n: int, halo: int) -> list:
 
 
 def _chain_packed(qS, qE, tS, tE, sc, l1, l2, valid, key):
-    """One int32[3, B, N] result (V bitcast, bp, lane): a single d2h
+    """One int32[2, B, N] result (V bitcast; bp*4+lane): a single d2h
     transfer per bucket instead of three (the tunneled TPU pays a ~28ms
-    latency floor per download)."""
+    latency floor per download), with lane folded into bp's low bits
+    (bp >= -3, lane in 0..2, so bp*4+lane round-trips via >>2 / &3)."""
     import jax
     import jax.numpy as jnp
 
     V, bp, lane = chain_scores_blocked(qS, qE, tS, tE, sc, l1, l2, valid,
                                        key)
-    return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32), bp, lane])
+    return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32),
+                      bp * 4 + lane])
 
 
 def _chain_packed_masked(qS, qE, tS, tE, sc, l1, l2, valid, key):
@@ -108,7 +110,8 @@ def _chain_packed_windowed(args, key):
     import jax.numpy as jnp
 
     V, bp, lane = chain_scores_windowed(*args, key, L=WIN_L, W=WIN_W)
-    return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32), bp, lane])
+    return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32),
+                      bp * 4 + lane])
 
 
 def _bucket(n: int) -> int:
@@ -193,6 +196,10 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
     sizes so the compiled kernels are reused across batches — remote
     compiles cost ~10s on the tunneled TPU, cached dispatches ~50ms."""
     import jax.numpy as jnp
+
+    from ..utils import devstats
+
+    t_enter = devstats.now() if devstats.ENABLED else 0.0
 
     # N == 1 is trivial: the only chain is the fragment itself
     for p in problems:
@@ -280,11 +287,23 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
         pending.append((plist, full or is_win, packed))
     # one flat d2h transfer for all buckets (latency floor per transfer)
     merged = None
+    t_pack = t_compute = t_copy = 0.0
+    nbytes = 0
     if pending:
         flats = [pk.reshape(-1) for _, _, pk in pending]
         merged = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+        if devstats.ENABLED:
+            t0 = devstats.now()
+            t_pack = t0 - t_enter
+            merged.block_until_ready()
+            t_compute = devstats.now() - t0
+            nbytes = merged.size * merged.dtype.itemsize
+        t0 = devstats.now() if devstats.ENABLED else 0.0
         merged.copy_to_host_async()
         merged = np.asarray(merged)
+        if devstats.ENABLED:
+            t_copy = devstats.now() - t0
+    t_post0 = devstats.now() if devstats.ENABLED else 0.0
     off = 0
     for plist, full, pk in pending:
         size = pk.size
@@ -302,7 +321,9 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                 p.chain_rows = rows[::-1].astype(np.int64)  # end-first
             continue
         V = packed[0].view(np.float32)
-        bp, lane = packed[1], packed[2]
+        # decode bp*4+lane: arithmetic >>2 is floor-div (bp >= -3), &3
+        # recovers lane from the two's-complement low bits
+        bp, lane = packed[1] >> 2, packed[1] & 3
         for b, p in enumerate(plist):
             n = len(p.qS)
             p.V, p.bp, p.lane = V[b, :n].copy(), bp[b, :n].copy(), \
@@ -316,6 +337,12 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                     int(i), p.qS, p.qE, p.tS, p.tE, p.V,
                     np.asarray(p.lane1, bool), np.asarray(p.lane2, bool),
                     np.ones(n, bool), 1 if p.bp[i] == -2 else 2, WIN_L)
+    if devstats.ENABLED:
+        devstats.record(
+            "chain_sdp", buckets=len(pending),
+            jobs=sum(len(pl) for pl, _, _ in pending),
+            pack_s=t_pack, compute_s=t_compute, copy_s=t_copy,
+            post_s=devstats.now() - t_post0, bytes=nbytes)
 
 
 @dataclass

@@ -181,16 +181,21 @@ def banded_global_traced_packed(q, t, qlen, tlen, K, m, mm, indel,
             | (o[:, 3::4] << 6))
 
 
-def unpack_ops(packed: np.ndarray) -> np.ndarray:
+def unpack_ops(packed: np.ndarray, mark_term: bool = True) -> np.ndarray:
     """Host inverse of the device 2-bit packing -> int8 [B, L] with -1
-    after termination (blocks_from_ops_batch's input format)."""
+    after termination (blocks_from_ops_batch's input format).
+
+    mark_term=False skips the 0 -> -1 rewrite pass: the packed
+    terminator 0 (== DONE) is neither DIAG nor LEFT/DOWN, so consumers
+    that only classify ops (blocks_from_ops_batch) don't need it."""
     B, L4 = packed.shape
     out = np.empty((B, L4 * 4), np.int8)
     out[:, 0::4] = packed & 3
     out[:, 1::4] = (packed >> 2) & 3
     out[:, 2::4] = (packed >> 4) & 3
     out[:, 3::4] = (packed >> 6) & 3
-    out[out == 0] = -1
+    if mark_term:
+        out[out == 0] = -1
     return out
 
 
@@ -203,12 +208,13 @@ def blocks_from_ops_batch(ops: np.ndarray):
     B, L = ops.shape
     # ops are end-of-alignment-first; instead of reversing each row,
     # compute alignment-order offsets from suffix counts: the q offset of
-    # an element is the number of q-consuming ops AFTER it in array order
+    # an element is the number of q-consuming ops AFTER it in array order.
     is_diag = ops == DIAG
     qstep = is_diag | (ops == LEFT)
     tstep = is_diag | (ops == DOWN)
-    cq = qstep.cumsum(axis=1, dtype=np.int32)        # inclusive prefix
-    ct = tstep.cumsum(axis=1, dtype=np.int32)
+    cdtype = np.int16 if L < 32768 else np.int32
+    cq = qstep.cumsum(axis=1, dtype=cdtype)          # inclusive prefix
+    ct = tstep.cumsum(axis=1, dtype=cdtype)
     tq = cq[:, -1]
     tt = ct[:, -1]
     prev_diag = np.concatenate(

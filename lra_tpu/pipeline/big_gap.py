@@ -188,12 +188,12 @@ def resolve_big_gaps(tasks: list, gap_jobs: list, gp: GapParams,
             if mq < pq or mt < pt:
                 continue
             if pq < mq and pt < mt:
-                gap_jobs.append(GapJob(task.read[pq:mq].copy(),
-                                       task.chrom[pt:mt].copy(),
+                gap_jobs.append(GapJob(task.read[pq:mq],
+                                       task.chrom[pt:mt],
                                        (si, gi, zi, pq, pt)))
             task.seg.blocks.append((mq, mt, ml))
             pq, pt = mq + ml, mt + ml
         if task.next_q > pq and task.next_t > pt:
-            gap_jobs.append(GapJob(task.read[pq:task.next_q].copy(),
-                                   task.chrom[pt:task.next_t].copy(),
+            gap_jobs.append(GapJob(task.read[pq:task.next_q],
+                                   task.chrom[pt:task.next_t],
                                    (si, gi, zi, pq, pt)))

@@ -40,7 +40,7 @@ def _pallas_ok() -> bool:
 # and all planes merge into ONE download, so finer size classes cost a
 # ~1.5ms dispatch each while halving the scan length of mid-size jobs
 # (a 70bp ONT gap in an S=512 slot pays a 7x longer sequential scan)
-_SIZE_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+_SIZE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
 def _size_bucket(n: int) -> int:
@@ -69,14 +69,19 @@ def trivial_diag_gap(q: np.ndarray, t: np.ndarray) -> bool:
 
 @dataclass
 class GapJob:
-    q: np.ndarray          # read codes of the gap (strand frame)
-    t: np.ndarray          # chrom codes of the gap
+    q: np.ndarray          # read codes of the gap (strand frame; a view)
+    t: np.ndarray          # chrom codes of the gap (a view)
     key: tuple             # caller routing key
     blocks: list | None = None
     band: int | None = None    # override band halfwidth (indel refine)
+    # creator already proved the job is not a trivial diagonal (e.g. the
+    # assembly walk's vectorized pre-classification) — skip the per-job
+    # re-check (it is pure overhead on tens of thousands of ONT gaps)
+    checked: bool = False
 
 
-def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
+def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
+                   tag: str = "gap_align") -> None:
     """Fills job.blocks with [(q_off, t_off, len)] relative to gap start.
 
     Dispatch strategy: on the tunneled TPU each host->device round trip
@@ -88,31 +93,50 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
     """
     import jax.numpy as jnp
 
+    from ..utils import devstats
+
+    t_enter = devstats.now() if devstats.ENABLED else 0.0
     # equal-length gaps with <=1 mismatch resolve inline (diag_gap_guard
     # proof) — SNP-separated anchor gaps are the bulk of a CCS batch
     diag_ok = diag_gap_guard(opts)
 
     device_jobs: dict = {}
     small_jobs: list = []
-    for job in jobs:
-        ql, tl = len(job.q), len(job.t)
-        if ql == 0 or tl == 0:
+    # vectorized per-job classification (tens of thousands of jobs per
+    # ONT batch: python min/max branch chains were ~0.15s/batch)
+    nj = len(jobs)
+    ql_v = np.fromiter((len(j.q) for j in jobs), np.int64, nj)
+    tl_v = np.fromiter((len(j.t) for j in jobs), np.int64, nj)
+    band_v = np.fromiter(
+        (-1 if j.band is None else j.band for j in jobs), np.int64, nj)
+    mn = np.minimum(ql_v, tl_v)
+    mx = np.maximum(ql_v, tl_v)
+    band_in_v = np.where(band_v >= 0, band_v,
+                         np.minimum(2 * (mx - mn) + 1, opts.local_band))
+    k_v = np.minimum(np.maximum(1, mn), band_in_v)
+    kb_v = 2 * k_v
+    in_regime = (np.maximum(1, mn) + kb_v >= mx) & (kb_v <= 512)
+    Kc_v = np.where(kb_v <= 2 * opts.local_band, 2 * opts.local_band, 512)
+    # size class: index into _SIZE_BUCKETS, oversized jobs resolved below
+    S_idx = np.searchsorted(np.asarray(_SIZE_BUCKETS), mx)
+    empty = (ql_v == 0) | (tl_v == 0)
+    trivial_cand = diag_ok & (ql_v == tl_v) & ~empty
+    for i, job in enumerate(jobs):
+        if empty[i]:
             job.blocks = []
             continue
-        if diag_ok and trivial_diag_gap(job.q, job.t):
-            job.blocks = [(0, 0, ql)]
+        if trivial_cand[i] and not job.checked and \
+                trivial_diag_gap(job.q, job.t):
+            job.blocks = [(0, 0, int(ql_v[i]))]
             continue
-        drift = abs(ql - tl)
-        band_in = job.band if job.band is not None else \
-            min(2 * drift + 1, opts.local_band)
-        k = min(max(1, min(ql, tl)), band_in)
-        diag = max(1, min(ql, tl))
-        if diag + 2 * k >= max(ql, tl):
-            kb = 2 * k   # banded-global regime (device or batched numpy)
-            if max(ql, tl) <= SMALL_MAX:
-                # tiny job: batched host DP (ops/affine_small.py) —
-                # identical scores/tie-order, none of the per-job device
-                # round-trip or bucket-fill cost
+        if in_regime[i]:
+            kb = int(kb_v[i])
+            if not use_device and mx[i] <= SMALL_MAX:
+                # host path only: tiny jobs via the batched numpy DP
+                # (ops/affine_small.py; identical scores/tie-order).  On
+                # device they ride the S=16/32 buckets instead — their
+                # op planes merge into the same single download, and the
+                # 16-step kernel scan beats this host's DP throughput.
                 small_jobs.append((job, kb))
                 continue
             # K class: narrow (gap closing) vs one wide tier (indel
@@ -120,17 +144,13 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             # band, so a single wide class costs only cheap VPU compute
             # and halves the bucket count (each bucket is a ~30-50ms
             # device round trip)
-            if kb <= 2 * opts.local_band:
-                Kc = 2 * opts.local_band
-            else:
-                Kc = 512
-            if kb <= 512:
-                S = _size_bucket(max(ql, tl))
-                device_jobs.setdefault((Kc, S), []).append((job, kb))
-                continue
+            S = (_SIZE_BUCKETS[S_idx[i]] if S_idx[i] < len(_SIZE_BUCKETS)
+                 else _pow2_at_least(int(mx[i]), 4096))
+            device_jobs.setdefault((int(Kc_v[i]), S), []).append((job, kb))
+            continue
         res = affine_one_gap_align(job.q, job.t, opts.local_match,
                                    opts.local_mismatch, opts.local_indel,
-                                   band_in)
+                                   int(band_in_v[i]))
         job.blocks = res.blocks
 
     if small_jobs:
@@ -196,11 +216,23 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
     flat_parts += [buf[0].reshape(-1) for K, _, _, _, buf in pending
                    if K == "rowsync"]
     merged = None
+    t_pack = t_compute = t_copy = 0.0
+    nbytes = 0
     if flat_parts:
         merged = flat_parts[0] if len(flat_parts) == 1 else \
             jnp.concatenate(flat_parts)
+        if devstats.ENABLED:
+            t0 = devstats.now()
+            t_pack = t0 - t_enter
+            merged.block_until_ready()
+            t_compute = devstats.now() - t0
+            nbytes = merged.size * merged.dtype.itemsize
+        t0 = devstats.now() if devstats.ENABLED else 0.0
         merged.copy_to_host_async()
         merged = np.asarray(merged)
+        if devstats.ENABLED:
+            t_copy = devstats.now() - t0
+    t_post0 = devstats.now() if devstats.ENABLED else 0.0
     off = 0
     for K, items, qlen, tlen, buf in pending:
         if K == "rowsync":
@@ -209,7 +241,10 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             size = buf.size
             plane = merged[off:off + size].reshape(buf.shape)
             off += size
-            blocks = blocks_from_ops_batch(unpack_ops(plane))
+            # padded rows beyond the real jobs carry no alignment — skip
+            # their unpack/cumsum cost (B is pow2-padded, up to 2x waste)
+            blocks = blocks_from_ops_batch(
+                unpack_ops(plane[:len(items)], mark_term=False))
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
         else:
@@ -225,3 +260,10 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True) -> None:
             blocks = blocks_from_rowsync(plane, qlen, tlen, S)
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
+    if devstats.ENABLED:
+        devstats.record(
+            tag, buckets=len(pending),
+            jobs=sum(len(i) for _, i, _, _, _ in pending),
+            small_jobs=len(small_jobs), pack_s=t_pack,
+            compute_s=t_compute, copy_s=t_copy,
+            post_s=devstats.now() - t_post0, bytes=nbytes)

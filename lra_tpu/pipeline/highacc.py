@@ -575,7 +575,7 @@ def finalize_batch(states, gap_jobs, genome, opts, use_device=True,
     # second device round: banded re-alignment of fragmented regions
     if timing:
         timing.tick("gap-splice+plan")
-    solve_gap_jobs(ir_jobs, opts, use_device)
+    solve_gap_jobs(ir_jobs, opts, use_device, tag="indel_refine")
     if timing:
         timing.tick("indel-refine (device)")
     ir_by_key: dict = {}
@@ -803,9 +803,10 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                         seg.blocks.append((prev_q_end, prev_t_end, rgap))
                     else:
                         gap_jobs.append(GapJob(
-                            read[prev_q_end:bq].copy(),
-                            chrom_codes[prev_t_end:bt].copy(),
-                            (si, gi, zi, prev_q_end, prev_t_end)))
+                            read[prev_q_end:bq],
+                            chrom_codes[prev_t_end:bt],
+                            (si, gi, zi, prev_q_end, prev_t_end),
+                            checked=True))
             seg.blocks.append((bq, bt, bl))
             prev_q_end = bq + bl
             prev_t_end = bt + bl

@@ -58,6 +58,8 @@ def main():
     t0 = time.time()
     align_reads(reads, genome, idx, opts, use_device=True, genome_li=li)
     print(f"warmup: {time.time()-t0:.2f}s", file=sys.stderr)
+    from lra_tpu.utils import devstats
+    devstats.reset()
 
     best = None
     tm = Timing()
@@ -73,6 +75,13 @@ def main():
     tm.write(buf)
     print(buf.getvalue(), file=sys.stderr)
 
+    from lra_tpu.utils import devstats
+    if devstats.ENABLED:
+        buf = io.StringIO()
+        devstats.report(buf)
+        print("[devstats: 3 batches]", file=sys.stderr)
+        print(buf.getvalue(), file=sys.stderr)
+
     if do_profile:
         pr = cProfile.Profile()
         pr.enable()
@@ -80,6 +89,7 @@ def main():
             align_reads(reads, genome, idx, opts, use_device=True,
                         genome_li=li)
         pr.disable()
+        pr.dump_stats("/tmp/lra_prof.prof")
         s = io.StringIO()
         ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
         ps.print_stats(60)
