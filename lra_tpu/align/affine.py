@@ -56,9 +56,15 @@ def fast_one_gap_align(q: np.ndarray, t: np.ndarray, m: int, mm: int,
     diag = max(1, min(qLen, tLen))
     kk = min(diag, k)
     if qLen and tLen and diag + 2 * kk >= max(qLen, tLen):
+        K = 2 * kk
+        from .. import native
+
+        res = native.banded_align(q, t, K, K, m, mm, indel)
+        if res is not None:
+            blocks, score = res
+            return AlnResult(score, blocks, [])
         from ..ops.affine_kernel import banded_global_np, traceback_banded
 
-        K = 2 * kk
         score, arrows = banded_global_np(
             q.reshape(1, -1).astype(np.int8), t.reshape(1, -1).astype(np.int8),
             np.array([qLen], np.int32), np.array([tLen], np.int32),

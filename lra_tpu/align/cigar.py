@@ -185,10 +185,17 @@ def score_op_arrays(codes: np.ndarray, lens: np.ndarray,
                      np.where(g <= 100001, -1000.0, -2000.0)))
         val += float(gv.sum())
     st.value = val
-    chars = _OP_CHARS if show_mismatch else _OP_CHARS_M
-    cl = chars[codes]
-    st.cigar = "".join(f"{n}{c}" for n, c in zip(lens.tolist(),
-                                                 cl.tolist()))
+    from .. import native
+
+    nc = native.cigar_string(codes, lens,
+                             "=XID" if show_mismatch else "MXID")
+    if nc is not None:
+        st.cigar = nc
+    else:
+        chars = _OP_CHARS if show_mismatch else _OP_CHARS_M
+        cl = chars[codes]
+        st.cigar = "".join(f"{n}{c}" for n, c in zip(lens.tolist(),
+                                                     cl.tolist()))
     return st
 
 

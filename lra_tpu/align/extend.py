@@ -213,26 +213,19 @@ def merge_same_diag(qpos, tpos, lengths, overlap, strand: int,
     MergeMatchesSameDiag, LinearExtend.h:796-826).  Returns (start, end)
     group slices into the anchor arrays."""
     n = len(qpos)
-    starts, ends = [0], [1]
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-
-    def diag(i):
-        if strand == 0:
-            return tpos[i] - qpos[i]
-        return qpos[i] + tpos[i] + lengths[i]
-
-    prev_diag = diag(0)
-    prev_q_end = qpos[0] + lengths[0]
-    for i in range(1, n):
-        cur_diag = diag(i)
-        gap = abs(int(qpos[i]) - int(qpos[i - 1] + lengths[i - 1]))
-        if (not overlap[i - 1] and not overlap[i] and prev_diag == cur_diag
-                and prev_q_end < qpos[i] and gap <= merge_dist):
-            ends[-1] = i + 1
-        else:
-            starts.append(i)
-            ends.append(i + 1)
-        prev_q_end = qpos[i] + lengths[i]
-        prev_diag = cur_diag
-    return np.asarray(starts, np.int64), np.asarray(ends, np.int64)
+    q = np.asarray(qpos, np.int64)
+    t = np.asarray(tpos, np.int64)
+    ln = np.asarray(lengths, np.int64)
+    ov = np.asarray(overlap, bool)
+    d = t - q if strand == 0 else q + t + ln
+    qe = q + ln
+    # anchor i chains onto i-1 when same diagonal, no overlap flags, a
+    # positive q gap, and gap <= merge_dist; groups are maximal runs
+    chain = (~ov[:-1] & ~ov[1:] & (d[1:] == d[:-1]) & (qe[:-1] < q[1:])
+             & (np.abs(q[1:] - qe[:-1]) <= merge_dist))
+    starts = np.concatenate([[0], np.flatnonzero(~chain) + 1]) \
+        .astype(np.int64)
+    ends = np.concatenate([starts[1:], [n]]).astype(np.int64)
+    return starts, ends

@@ -143,21 +143,29 @@ def splice_refined_blocks(seg, jobs: list) -> None:
             repl[(lo, hi)] = pre + nb + post
     if not repl:
         return
+    # splice by slices (regions are disjoint), then a vectorized
+    # monotonicity check with the python drop-scan only on violation
     out = []
     i = 0
-    n = len(seg.blocks)
-    spans = sorted(repl.items())
-    si = 0
-    while i < n:
-        if si < len(spans) and spans[si][0][0] == i:
-            (lo, hi), nb = spans[si]
-            out.extend(nb)
-            i = hi + 1
-            si += 1
-        else:
-            out.append(seg.blocks[i])
-            i += 1
-    # monotonic safety
+    for (lo, hi), nb in sorted(repl.items()):
+        if lo < i:
+            # regions from plan_refine_regions can share a boundary
+            # block (i = max(j, i+1)); the first span wins and an
+            # overlapping successor is dropped, exactly like the
+            # original index walk
+            continue
+        out.extend(seg.blocks[i:lo])
+        out.extend(nb)
+        i = hi + 1
+    out.extend(seg.blocks[i:])
+    a = np.asarray(out, np.int64)
+    if len(a):
+        q, t, ln = a[:, 0], a[:, 1], a[:, 2]
+        if bool(np.all(ln > 0)) and bool(
+                np.all((q[1:] >= q[:-1] + ln[:-1])
+                       & (t[1:] >= t[:-1] + ln[:-1]))):
+            seg.blocks = out
+            return
     clean = []
     pq = pt = -1
     for (bq, bt, bl) in out:

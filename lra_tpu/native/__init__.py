@@ -89,12 +89,67 @@ def _load():
         + [ctypes.c_void_p] * 2 + [ctypes.c_int64] * 7
         + [ctypes.c_void_p] * 2 + [ctypes.c_int64]
     )
+    lib.lrn_banded_align.restype = ctypes.c_int32
+    lib.lrn_banded_align.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int32] * 2
+        + [ctypes.c_int32] * 5
+        + [ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+    )
+    lib.lrn_cigar_string.restype = ctypes.c_int64
+    lib.lrn_cigar_string.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return bool(_load())
+
+
+def cigar_string(codes: np.ndarray, lens: np.ndarray,
+                 op_chars: str):
+    """CIGAR text from op-run arrays; None if unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    n = len(codes)
+    buf = ctypes.create_string_buffer(24 * max(1, n))
+    ln = lib.lrn_cigar_string(
+        np.ascontiguousarray(codes, np.uint8)
+        .ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(lens, np.int64)
+        .ctypes.data_as(ctypes.c_void_p),
+        n, op_chars.encode(), buf, len(buf))
+    if ln < 0:
+        return None
+    return buf.raw[:ln].decode()
+
+
+def banded_align(q: np.ndarray, t: np.ndarray, K: int, kband: int,
+                 m: int, mm: int, indel: int):
+    """Native banded-global alignment of one problem (scalar mirror of
+    ops/affine_kernel.banded_global_np + traceback_banded — identical
+    blocks).  Returns (blocks list, score) or None if unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    q = np.ascontiguousarray(q, np.int8)
+    t = np.ascontiguousarray(t, np.int8)
+    max_blocks = len(q) + len(t) + 2
+    out = np.empty(max_blocks * 3, np.int32)
+    score = ctypes.c_int32()
+    nb = lib.lrn_banded_align(
+        q.ctypes.data_as(ctypes.c_void_p), len(q),
+        t.ctypes.data_as(ctypes.c_void_p), len(t),
+        K, kband, m, mm, indel,
+        out.ctypes.data_as(ctypes.c_void_p), max_blocks,
+        ctypes.byref(score))
+    if nb < 0:
+        return None
+    tr = out[:nb * 3].reshape(-1, 3)
+    return ([(int(a), int(b), int(c)) for a, b, c in tr],
+            int(score.value))
 
 
 def load_seqs(path: str, want_quals: bool = False):

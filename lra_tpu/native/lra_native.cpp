@@ -557,4 +557,131 @@ int64_t lrn_match_batch(
   return fits ? total : -total;
 }
 
+// Banded global alignment + traceback for ONE problem on the host —
+// the native fast path behind align/affine.fast_one_gap_align (scalar
+// mirror of ops/affine_kernel.banded_global_np: same recurrence, same
+// boundary init, same ins > del > match tie order, so traceback blocks
+// are identical).  numpy pays ~35us of per-row dispatch on the ~10 row
+// ops; a 1000x61 band is ~60k cells, microseconds in C.
+//
+// Layout: rows j = 0..tlen, band offsets d = 0..2K (diagonal off - K),
+// cell (i, j) with i = j + d - K.  Returns the block count (triples
+// q_off, t_off, len ascending into blocks_out), or -1 on overflow;
+// score_out receives the alignment score.
+int lrn_banded_align(const int8_t* q, int32_t qlen, const int8_t* t,
+                     int32_t tlen, int32_t K, int32_t kband, int32_t m,
+                     int32_t mm, int32_t indel, int32_t* blocks_out,
+                     int32_t max_blocks, int32_t* score_out) {
+  const int32_t NEGI = -1000000000;
+  const int8_t A_DONE = 0, A_LEFT = 1, A_DOWN = 2, A_DIAG = 3;
+  const int band = 2 * K + 1;
+  std::vector<int8_t> arrows((size_t)(tlen + 1) * band, -1);
+  std::vector<int32_t> prev(band), row(band), sdel(band);
+
+  // row 0: P[i, 0] = indel*i for 0 <= offs <= kband
+  for (int d = 0; d < band; d++) {
+    int offs = d - K;
+    bool inb = offs >= -kband && offs <= kband;
+    prev[d] = (inb && offs >= 0) ? indel * offs : NEGI;
+    arrows[d] = (inb && offs > 0) ? A_LEFT : (inb && offs == 0 ? A_DONE : -1);
+  }
+  for (int j = 1; j <= tlen; j++) {
+    int8_t tc = t[j - 1];
+    for (int d = 0; d < band; d++) {
+      int i = j + d - K;
+      int8_t qc = (i - 1 >= 0 && i - 1 < qlen) ? q[i - 1] : (int8_t)5;
+      int32_t sub = (qc == tc) ? m : mm;
+      int32_t sMat = prev[d] + sub;
+      int32_t sd = (d + 1 < band) ? prev[d + 1] + indel : NEGI;
+      int32_t base = sMat > sd ? sMat : sd;
+      if (i == 0) base = indel * j;
+      bool inb = (d - K) >= -kband && (d - K) <= kband;
+      bool valid = i >= 0 && i <= qlen && inb;
+      if (!valid) base = NEGI;
+      int32_t v = base;
+      if (d > 0 && row[d - 1] + indel > v) v = row[d - 1] + indel;
+      row[d] = v;
+      sdel[d] = sd;
+    }
+    int8_t* arr = &arrows[(size_t)j * band];
+    for (int d = 0; d < band; d++) {
+      int i = j + d - K;
+      bool inb = (d - K) >= -kband && (d - K) <= kband;
+      bool valid = i >= 0 && i <= qlen && inb;
+      if (!valid) { row[d] = NEGI; }
+    }
+    for (int d = 0; d < band; d++) {
+      int i = j + d - K;
+      bool inb = (d - K) >= -kband && (d - K) <= kband;
+      bool valid = i >= 0 && i <= qlen && inb;
+      int32_t row_left = d > 0 ? row[d - 1] : NEGI;
+      int8_t a;
+      if (row[d] == row_left + indel) a = A_LEFT;
+      else if (row[d] == sdel[d]) a = A_DOWN;
+      else a = A_DIAG;
+      if (i == 0) a = A_DOWN;
+      if (!valid) a = -1;
+      arr[d] = a;
+    }
+    std::swap(prev, row);
+  }
+  if (score_out) {
+    int df = qlen - tlen + K;
+    *score_out = (df >= 0 && df < band) ? prev[df] : NEGI;
+  }
+
+  // traceback (mirror of affine_kernel.traceback_banded)
+  int i = qlen, j = tlen;
+  int nb = 0;
+  int run = 0, run_i = 0, run_j = 0;
+  // collect blocks end-first, reverse at the end
+  std::vector<int32_t> rev;
+  while (i >= 0 && j >= 0) {
+    int d = i - j + K;
+    if (d < 0 || d >= band) break;
+    int8_t a = arrows[(size_t)j * band + d];
+    if (a == A_DONE || a == -1) break;
+    if (a == A_DIAG) {
+      run++; run_i = i - 1; run_j = j - 1;
+      i--; j--;
+    } else {
+      if (run) { rev.push_back(run_i); rev.push_back(run_j);
+                 rev.push_back(run); run = 0; }
+      if (a == A_LEFT) i--; else j--;
+    }
+  }
+  if (run) { rev.push_back(run_i); rev.push_back(run_j); rev.push_back(run); }
+  int nruns = (int)(rev.size() / 3);
+  if (nruns > max_blocks) return -1;
+  for (int r = nruns - 1; r >= 0; r--) {
+    blocks_out[nb * 3 + 0] = rev[r * 3 + 0];
+    blocks_out[nb * 3 + 1] = rev[r * 3 + 1];
+    blocks_out[nb * 3 + 2] = rev[r * 3 + 2];
+    nb++;
+  }
+  return nb;
+}
+
+// CIGAR text from op-run arrays: codes index into op_chars, lens are
+// run lengths.  Python's per-run f-string join costs ~0.3ms per read
+// (align/cigar.score_op_arrays); this is the whole loop in C.  Returns
+// bytes written, or -1 if cap is too small.
+int64_t lrn_cigar_string(const uint8_t* codes, const int64_t* lens,
+                         int64_t n, const char* op_chars, char* out,
+                         int64_t cap) {
+  char* p = out;
+  char* end = out + cap;
+  for (int64_t i = 0; i < n; i++) {
+    if (p + 24 > end) return -1;
+    long long v = (long long)lens[i];
+    // itoa (lens are positive)
+    char tmp[20];
+    int k = 0;
+    do { tmp[k++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    *p++ = op_chars[codes[i]];
+  }
+  return (int64_t)(p - out);
+}
+
 }  // extern "C"

@@ -233,3 +233,44 @@ def test_native_match_batch_matches_numpy(rng):
             np.testing.assert_array_equal(a.qpos, b.qpos)
             np.testing.assert_array_equal(a.tpos, b.tpos)
             np.testing.assert_array_equal(a.freq, b.freq)
+
+
+def test_native_banded_align_matches_numpy(rng):
+    """lrn_banded_align must produce the same blocks and score as the
+    numpy banded kernel + traceback on random mutated pairs."""
+    from lra_tpu import native
+    from lra_tpu.ops.affine_kernel import banded_global_np, traceback_banded
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    for trial in range(40):
+        n = int(rng.integers(5, 800))
+        t = rng.integers(0, 4, n).astype(np.int8)
+        q = t.copy()
+        # mutate: SNPs + small indels
+        for _ in range(int(rng.integers(0, max(2, n // 30)))):
+            p = int(rng.integers(0, len(q)))
+            r = rng.random()
+            if r < 0.6:
+                q[p] = (q[p] + 1 + int(rng.integers(0, 3))) % 4
+            elif r < 0.8 and len(q) > 10:
+                q = np.delete(q, p)
+            else:
+                q = np.insert(q, p, int(rng.integers(0, 4)))
+        qLen, tLen = len(q), len(t)
+        diag = max(1, min(qLen, tLen))
+        kk = min(diag, 30)
+        if diag + 2 * kk < max(qLen, tLen):
+            continue
+        K = 2 * kk
+        res = native.banded_align(q, t, K, K, 4, -3, -4)
+        assert res is not None
+        nb, nscore = res
+        score, arrows = banded_global_np(
+            q.reshape(1, -1), t.reshape(1, -1),
+            np.array([qLen], np.int32), np.array([tLen], np.int32),
+            K, 4, -3, -4, np.array([K], np.int32))
+        rb, _ = traceback_banded(arrows[0], qLen, tLen, K)
+        assert nb == rb, (trial, nb[:5], rb[:5])
+        assert nscore == int(score[0]), (trial, nscore, score[0])
