@@ -166,8 +166,11 @@ def main():
     # round-2 BASELINE.md configurations
     ccs_dir, ccs_once = _setup_workload("ccs", 0, N_READS, 8000,
                                         1.0 / 600 * 3, 256)
-    ont_n = 256
-    ont_dir, ont_once = _setup_workload("ont", 1, ont_n, 12000, 0.05, 128)
+    # 3x128 batches + 3 workers: steady-state pipelining (2 batches
+    # leave the first/last with no overlap partner)
+    ont_n = 384
+    ont_dir, ont_once = _setup_workload("ont", 1, ont_n, 12000, 0.05, 128,
+                                        workers=3)
 
     ref = build_reference()
     ccs_once()  # warm-up (compiles cached persistently)
@@ -198,7 +201,7 @@ def main():
                 "unit": ("reads/s CCS (8kb x512, 2Mb genome, 1 chip, 2x256"
                          " pipelined, A/B-interleaved best-of-4; CCS "
                          f"{r_ccs:.3f}x of reference lra -t 1 at "
-                         f"{ccs_ref:.1f} r/s; ONT 12kb 5%-err x256 2x128: "
+                         f"{ccs_ref:.1f} r/s; ONT 12kb 5%-err x384 3x128: "
                          f"{ont_rps:.1f} r/s = {r_ont:.3f}x of reference "
                          f"at {ont_ref:.1f} r/s; vs_baseline = min(CCS, "
                          "ONT) ratio)"),

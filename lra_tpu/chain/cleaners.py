@@ -34,25 +34,36 @@ class AnchorChain:
         self.cluster = self.cluster[keep]
 
 
-def _gaps(ch: AnchorChain):
-    """Per-adjacent-pair diagonal gap (reference sign conventions:
-    Chain.h:556-575)."""
-    n = len(ch)
-    sv = np.zeros(n, dtype=np.int64)      # 0 means strand flip or no entry
-    has = np.zeros(n, dtype=bool)
-    q, t, ln, s = ch.qpos, ch.tpos, ch.length, ch.strand
-    for c in range(1, n):
-        if s[c] == s[c - 1]:
-            if s[c] == 0:
-                gap = (t[c] - q[c]) - (t[c - 1] - q[c - 1])
-            else:
-                gap = (q[c] + ln[c] + t[c]) - (q[c - 1] + ln[c - 1] + t[c - 1])
-            sv[c] = gap
-            has[c] = True
-        else:
-            sv[c] = 0
-            has[c] = True
-    return sv, has
+def _pair_gaps(q, t, ln, s):
+    """Vectorized per-adjacent-pair diagonal gap (reference sign
+    conventions, Chain.h:556-575): gap[c-1] for pair (c-1, c); strand
+    flips yield gap 0 with same=False."""
+    same = s[1:] == s[:-1]
+    g0 = (t[1:] - q[1:]) - (t[:-1] - q[:-1])
+    g1 = (q[1:] + ln[1:] + t[1:]) - (q[:-1] + ln[:-1] + t[:-1])
+    gap = np.where(s[1:] == 0, g0, g1)
+    return np.where(same, gap, 0), same
+
+
+def _sv_entries(q, t, ln, s, lo, hi):
+    """The cleaners' shared event list: strand flips enter with value 0,
+    same-strand pairs enter when lo < |gap| <= hi.  Returns (sv, pos)."""
+    gap, same = _pair_gaps(q, t, ln, s)
+    keep = ~same | ((np.abs(gap) > lo) & (np.abs(gap) <= hi))
+    pos = np.flatnonzero(keep) + 1
+    sv = np.where(same, gap, 0)[pos - 1]
+    return sv, pos
+
+
+def _paired_hits(sv, pos, max_pos_gap):
+    """Indices c where entries (c-1, c) are opposite-sign nonzero gaps
+    within max_pos_gap anchors."""
+    if len(sv) < 2:
+        return np.zeros(0, np.int64)
+    a, b = sv[:-1], sv[1:]
+    cond = (a != 0) & (b != 0) & ((a >= 0) != (b >= 0)) & \
+        (pos[1:] - pos[:-1] <= max_pos_gap)
+    return np.flatnonzero(cond) + 1
 
 
 def remove_small_paired_indels(ch: AnchorChain) -> None:
@@ -60,28 +71,13 @@ def remove_small_paired_indels(ch: AnchorChain) -> None:
     n = len(ch)
     if n < 2:
         return
-    sv_list, pos_list = [], []
     q, t, ln, s = ch.qpos, ch.tpos, ch.length, ch.strand
-    for c in range(1, n):
-        if s[c] == s[c - 1]:
-            if s[c] == 0:
-                gap = int((t[c] - q[c]) - (t[c - 1] - q[c - 1]))
-            else:
-                gap = int((q[c] + ln[c] + t[c]) - (q[c - 1] + ln[c - 1] + t[c - 1]))
-            if 5 < abs(gap) <= 50:
-                sv_list.append(gap)
-                pos_list.append(c)
-        else:
-            sv_list.append(0)
-            pos_list.append(c)
+    sv, pos = _sv_entries(q, t, ln, s, 5, 50)
     remove = np.zeros(n, dtype=bool)
-    for c in range(1, len(sv_list)):
-        a, b = sv_list[c - 1], sv_list[c]
-        if (a != 0 and b != 0 and (a >= 0) != (b >= 0)
-                and abs(a + b) <= 20 and pos_list[c] - pos_list[c - 1] < 3):
-            for i in range(pos_list[c - 1], pos_list[c]):
-                if ln[i] <= 50:
-                    remove[i] = True
+    for c in _paired_hits(sv, pos, 2):
+        if abs(int(sv[c - 1]) + int(sv[c])) <= 20:
+            span = slice(pos[c - 1], pos[c])
+            remove[span] |= ln[span] <= 50
     if remove.any():
         ch.take(~remove)
 
@@ -96,45 +92,26 @@ def remove_paired_indels(ch: AnchorChain, refine_ends: bool = True) -> None:
     q, t, ln, s = ch.qpos, ch.tpos, ch.length, ch.strand
     remove = np.zeros(n, dtype=bool)
 
-    dists = []
+    dists = np.zeros(0, np.float64)
     if refine_ends:
-        for c in range(1, n):
-            tdist = (t[c] - (t[c - 1] + ln[c - 1])
-                     if t[c] > t[c - 1] + ln[c - 1]
-                     else t[c - 1] - (t[c] + ln[c]))
-            # reference computes qDist with a t/q typo (Chain.h:633);
-            # we use the sane q distance
-            qdist = (q[c] - (q[c - 1] + ln[c - 1])
-                     if q[c] > q[c - 1] + ln[c - 1]
-                     else q[c - 1] - (q[c] + ln[c]))
-            dists.append(min(int(tdist), int(qdist)))
-        dists = np.array(dists, dtype=np.float64)
+        tdist = np.where(t[1:] > t[:-1] + ln[:-1],
+                         t[1:] - (t[:-1] + ln[:-1]),
+                         t[:-1] - (t[1:] + ln[1:]))
+        # reference computes qDist with a t/q typo (Chain.h:633);
+        # we use the sane q distance
+        qdist = np.where(q[1:] > q[:-1] + ln[:-1],
+                         q[1:] - (q[:-1] + ln[:-1]),
+                         q[:-1] - (q[1:] + ln[1:]))
+        dists = np.minimum(tdist, qdist).astype(np.float64)
         mean = dists.mean()
         sd = np.sqrt(max(0.0, (dists ** 2).mean() - mean ** 2))
 
-    sv_list, pos_list = [], []
-    for c in range(1, n):
-        if s[c] == s[c - 1]:
-            if s[c] == 0:
-                gap = int((t[c] - q[c]) - (t[c - 1] - q[c - 1]))
-            else:
-                gap = int((q[c] + ln[c] + t[c]) - (q[c - 1] + ln[c - 1] + t[c - 1]))
-            if abs(gap) > 30:
-                sv_list.append(gap)
-                pos_list.append(c)
-        else:
-            sv_list.append(0)
-            pos_list.append(c)
-    for c in range(1, len(sv_list)):
-        a, b = sv_list[c - 1], sv_list[c]
-        if a == 0 or b == 0 or (a >= 0) == (b >= 0):
-            continue
-        if pos_list[c] - pos_list[c - 1] >= 3:
-            continue
+    sv, pos = _sv_entries(q, t, ln, s, 30, np.iinfo(np.int64).max)
+    for c in _paired_hits(sv, pos, 2):
+        a, b = int(sv[c - 1]), int(sv[c])
         if (abs(a) >= 300 and abs(b) >= 300) or abs(a + b) < 100:
-            for i in range(pos_list[c - 1], pos_list[c]):
-                if ln[i] < 100:
-                    remove[i] = True
+            span = slice(pos[c - 1], pos[c])
+            remove[span] |= ln[span] < 100
 
     if refine_ends and len(dists):
         thresh = mean + 4 * sd
@@ -207,27 +184,13 @@ def remove_spurious_anchors(ch: AnchorChain) -> None:
     if n < 2:
         return
     q, t, ln, s = ch.qpos, ch.tpos, ch.length, ch.strand
-    sv_list, pos_list = [], []
-    for c in range(1, n):
-        if s[c] == s[c - 1]:
-            if s[c] == 0:
-                gap = int((t[c] - q[c]) - (t[c - 1] - q[c - 1]))
-            else:
-                gap = int((q[c] + ln[c] + t[c]) - (q[c - 1] + ln[c - 1] + t[c - 1]))
-            if abs(gap) >= 500:
-                sv_list.append(gap)
-                pos_list.append(c)
-        else:
-            sv_list.append(0)
-            pos_list.append(c)
+    sv, pos = _sv_entries(q, t, ln, s, 499, np.iinfo(np.int64).max)
     remove = np.zeros(n, dtype=bool)
-    for c in range(1, len(sv_list)):
-        if sv_list[c] != 0 and sv_list[c - 1] != 0 and \
-           pos_list[c] - pos_list[c - 1] <= 10:
-            span = range(pos_list[c - 1], pos_list[c])
-            if not any(ln[i] >= 50 for i in span):
-                for i in span:
-                    if ln[i] < 50:
-                        remove[i] = True
+    if len(sv) >= 2:
+        cond = (sv[1:] != 0) & (sv[:-1] != 0) & (pos[1:] - pos[:-1] <= 10)
+        for c in np.flatnonzero(cond) + 1:
+            span = slice(pos[c - 1], pos[c])
+            if not (ln[span] >= 50).any():
+                remove[span] = True
     if remove.any():
         ch.take(~remove)

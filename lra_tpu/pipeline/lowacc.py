@@ -63,23 +63,14 @@ def remove_spurious_jump(uc: UChain) -> None:
     n = len(uc.qpos)
     if n < 2:
         return
+    from ..chain.cleaners import _sv_entries
+
     remove = np.zeros(n, bool)
-    sv, svpos = [], []
-    for c in range(1, n):
-        if uc.strand[c] == uc.strand[c - 1]:
-            if uc.strand[c] == 0:
-                gap = int((uc.tpos[c] - uc.qpos[c])
-                          - (uc.tpos[c - 1] - uc.qpos[c - 1]))
-            else:
-                gap = int((uc.qpos[c] + uc.length[c] + uc.tpos[c])
-                          - (uc.qpos[c - 1] + uc.length[c - 1]
-                             + uc.tpos[c - 1]))
-            if abs(gap) > 100:
-                sv.append(gap)
-                svpos.append(c)
-        else:
-            sv.append(0)
-            svpos.append(c)
+    sv, svpos = _sv_entries(uc.qpos.astype(np.int64),
+                            uc.tpos.astype(np.int64),
+                            uc.length.astype(np.int64),
+                            uc.strand.astype(np.int64),
+                            100, np.iinfo(np.int64).max)
     for c in range(1, len(sv)):
         if (not remove[svpos[c - 1]] and np.sign(sv[c]) != np.sign(sv[c - 1])
                 and sv[c] != 0 and sv[c - 1] != 0
@@ -187,11 +178,11 @@ def _decide_chains_1b(p: ChainProblem, anchors: AnchorArrays,
             fv += 1
             continue
         if rows:
-            orig = [int(p.order[r]) for r in rows]
-            q_lo = min(int(p.qS[r]) for r in rows)
-            q_hi = max(int(p.qE[r]) for r in rows)
-            t_lo = min(int(p.tS[r]) for r in rows) + p.tbase
-            t_hi = max(int(p.tE[r]) for r in rows) + p.tbase
+            rr = np.asarray(rows, np.int64)
+            q_lo = int(p.qS[rr].min())
+            q_hi = int(p.qE[rr].max())
+            t_lo = int(p.tS[rr].min()) + p.tbase
+            t_hi = int(p.tE[rr].max()) + p.tbase
             qspan = q_hi - q_lo
             if (len(rows) >= 3 and qspan > 0
                     and qspan / read_len > 0.005 and qspan >= 200):
@@ -202,7 +193,7 @@ def _decide_chains_1b(p: ChainProblem, anchors: AnchorArrays,
                     overlaps = ov > 0.05 * max(1, a.TEnd - a.TStart)
                 if not chains or overlaps:
                     # sorted rows -> original anchor ids -> plain gathers
-                    ids = np.array(orig, np.int64)
+                    ids = p.order[rr].astype(np.int64)
                     uc = UChain(
                         anchors.q[ids].copy(), anchors.t[ids].copy(),
                         anchors.ln[ids].copy(), anchors.s[ids].copy(),

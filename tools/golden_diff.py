@@ -1,0 +1,131 @@
+"""Bit-identical golden diff driver (VERDICT r2 item 3).
+
+Simulates clean CCS reads, runs the compiled reference binary and our
+pipeline on the same inputs, and prints a per-read comparison of
+placement, full CIGAR, and NM/NV/AS tag values, with the first point of
+CIGAR divergence for non-identical reads.
+
+Usage: python tools/golden_diff.py [n_reads] [err] [seed]
+"""
+
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lra_tpu import preset, seq as sequtils
+from lra_tpu.index.global_index import build_global_index
+from lra_tpu.io.genome import Genome
+from lra_tpu.pipeline import align_reads
+from lra_tpu.sim import random_genome, sample_read
+import bench
+
+
+def parse(text):
+    rows = {}
+    for ln in text.splitlines():
+        if ln.startswith("@") or not ln.strip():
+            continue
+        f = ln.split("\t")
+        if len(f) > 5 and f[1] in ("0", "16"):
+            tags = {t.split(":")[0]: t.split(":", 2)[2]
+                    for t in f[11:] if t.count(":") >= 2}
+            rows[f[0]] = (int(f[3]) - 1, f[1], f[5], tags)
+    return rows
+
+
+def cigar_ops(c):
+    return re.findall(r"(\d+)([MIDX=SH])", c)
+
+
+def first_diff(a, b):
+    oa, ob = cigar_ops(a), cigar_ops(b)
+    qa = 0
+    for i in range(max(len(oa), len(ob))):
+        xa = oa[i] if i < len(oa) else None
+        xb = ob[i] if i < len(ob) else None
+        if xa != xb:
+            return i, qa, xa, xb
+        if xa[1] in "MIX=S":
+            qa += int(xa[0])
+    return None
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    err = float(sys.argv[2]) if len(sys.argv) > 2 else 0.002
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    rng = np.random.default_rng(seed)
+    g = random_genome(rng, 300000)
+    reads = []
+    for i in range(n):
+        r = sample_read(rng, g, 6000, snp=err * 0.6, ins=err * 0.2,
+                        dele=err * 0.2)
+        reads.append((f"r{i}", r.codes))
+    d = tempfile.mkdtemp(prefix="golden_diff_")
+    with open(os.path.join(d, "ref.fa"), "w") as f:
+        f.write(">chr1\n" + sequtils.decode(g) + "\n")
+    with open(os.path.join(d, "reads.fa"), "w") as f:
+        for name, codes in reads:
+            f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
+    ref = bench.build_reference()
+    assert ref, "reference build failed"
+    subprocess.run([ref, "index", "-CCS", "ref.fa"], cwd=d, check=True,
+                   capture_output=True, timeout=600)
+    out = subprocess.run(
+        [ref, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1", "-p", "s"],
+        cwd=d, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-400:]
+    ref_rows = parse(out.stdout)
+
+    genome = Genome.from_seqs([("chr1", g)])
+    opts = preset("ccs")
+    idx = build_global_index(genome, opts)
+    _, lines = align_reads(reads, genome, idx, opts, use_device=False)
+    our_rows = parse("\n".join(lines))
+
+    ident = 0
+    for name in sorted(ref_rows, key=lambda x: int(x[1:])):
+        if name not in our_rows:
+            print(f"{name}: MISSING in ours")
+            continue
+        rp, rf, rc, rt = ref_rows[name]
+        op, of, oc, ot = our_rows[name]
+        tagcmp = " ".join(
+            f"{k}:{ot.get(k)}|{rt.get(k)}" + ("=" if ot.get(k) == rt.get(k)
+                                              else "!")
+            for k in ("NM", "NV", "AS"))
+        if (rp, rf, rc) == (op, of, oc) and \
+                all(ot.get(k) == rt.get(k) for k in ("NM",)):
+            ident += 1
+            print(f"{name}: IDENTICAL cigar+pos  {tagcmp}")
+        else:
+            print(f"{name}: pos {op}|{rp} flag {of}|{rf}  {tagcmp}")
+            if oc != rc:
+                fd = first_diff(oc, rc)
+                if fd:
+                    i, qa, xa, xb = fd
+                    print(f"   cigar diff at op {i} (q~{qa}): "
+                          f"ours={xa} ref={xb}")
+                    print(f"   ours: ...{oc[max(0,_pos(oc,i)-20):_pos(oc,i)+20]}...")
+                    print(f"   ref:  ...{rc[max(0,_pos(rc,i)-20):_pos(rc,i)+20]}...")
+    print(f"\n{ident}/{len(ref_rows)} bit-identical CIGAR+pos+NM  ({d})")
+
+
+def _pos(cig, opi):
+    """Char offset of op opi in the cigar string."""
+    p = 0
+    for k, m in enumerate(re.finditer(r"\d+[MIDX=SH]", cig)):
+        if k == opi:
+            return m.start()
+        p = m.end()
+    return p
+
+
+if __name__ == "__main__":
+    main()
