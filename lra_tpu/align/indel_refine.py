@@ -58,10 +58,14 @@ def plan_refine_regions(seg, opts: Options):
             # length (each a fresh compile + a long sequential scan);
             # consolidation within 1kb windows is still ~30x wider than
             # the reference's refine band (the scale at which it merges
-            # nearby indels, IndelRefine.h:133-165)
+            # nearby indels, IndelRefine.h:133-165).  The cap leaves room
+            # for the two flank windows so the job stays inside the
+            # S=1024 size bucket — spilling into S=2048 doubles both the
+            # kernel scan length and the op-plane download per job
             span = qn + ln_n - blocks[i][0]
             if qgap < max_gap and tgap < max_gap and \
-               (j == i or blocks[j][2] < 100) and span <= 1024:
+               (j == i or blocks[j][2] < 100) and \
+               span <= 1024 - 2 * max_gap:
                 j += 1
             else:
                 break

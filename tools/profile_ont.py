@@ -61,6 +61,26 @@ def main():
     from lra_tpu.utils import devstats
     devstats.reset()
 
+    if "--stream" in sys.argv:
+        # pipelined-throughput sweep over (workers, sub-batch) configs
+        from lra_tpu.pipeline.stream import align_stream
+        reads = reads * 3      # steady state: several sub-batches
+        n = len(reads)
+        for workers, sub in ((2, 128), (3, 128), (4, 128)):
+            batches = [reads[i:i + sub] for i in range(0, n, sub)]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                for _ in align_stream(batches, genome, idx, opts,
+                                      use_device=True, genome_li=li,
+                                      workers=workers):
+                    pass
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            print(f"workers={workers} sub={sub}: {n/best:.1f} reads/s "
+                  f"({best:.2f}s)", file=sys.stderr)
+        return
+
     best = None
     tm = Timing()
     for _ in range(3):
