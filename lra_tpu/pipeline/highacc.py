@@ -731,6 +731,48 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
                                   minlength=len(gidx))
                 trivial_gap[gidx] = mmc <= 1
 
+        # vectorized fast path: no overlap clips and no >=300bp deferred
+        # gaps (the common case) — blocks and gap jobs emitted from the
+        # precomputed arrays without the per-anchor python walk
+        n_seg = len(q)
+        if n_seg > 1:
+            r_all = vq[1:] - pe_q[:-1]
+            t_all = vt[1:] - pe_t[:-1]
+            no_clip = bool(np.all((r_all >= 0) & (t_all >= 0)))
+            big_any = (opts.refine_by_sdp and gp is not None
+                       and bool(np.any(np.minimum(r_all, t_all) >= 300)))
+        else:
+            r_all = t_all = np.zeros(0, np.int64)
+            no_clip, big_any = True, False
+        if no_clip and not big_any:
+            triv = trivial_gap if len(trivial_gap) else \
+                np.zeros(max(0, n_seg - 1), bool)
+            jobs_needed = (r_all > 0) & (t_all > 0) & ~triv
+            ntriv = int(triv.sum())
+            cum = np.cumsum(triv) if n_seg > 1 else np.zeros(0, np.int64)
+            total = n_seg + ntriv
+            arr = np.empty((total, 3), np.int64)
+            apos = np.arange(n_seg)
+            apos[1:] += cum
+            arr[apos, 0] = vq
+            arr[apos, 1] = vt
+            arr[apos, 2] = vl
+            if ntriv:
+                tj = np.flatnonzero(triv)
+                arr[apos[tj] + 1, 0] = pe_q[tj]
+                arr[apos[tj] + 1, 1] = pe_t[tj]
+                arr[apos[tj] + 1, 2] = r_all[tj]
+            seg.blocks = list(map(tuple, arr.tolist()))
+            for j in np.flatnonzero(jobs_needed):
+                gap_jobs.append(GapJob(
+                    read[pe_q[j]:vq[j + 1]],
+                    chrom_codes[pe_t[j]:vt[j + 1]],
+                    (si, gi, zi, int(pe_q[j]), int(pe_t[j])),
+                    checked=True))
+            group.segments.append(seg)
+            zi += 1
+            continue
+
         bq_l = vq.tolist()
         bt_l = vt.tolist()
         bl_l = vl.tolist()
