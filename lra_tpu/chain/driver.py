@@ -38,6 +38,32 @@ _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
 # the last WIN_W fragments + saturated-cost far term (ops/sdp_windowed.py)
 WIN_W = 4096
 WIN_L = 64
+# density guard for the windowed kernel: its coverage argument (a
+# predecessor missed by both the W-rank near window and the saturated far
+# term is an edge SPLITChain would cut, ops/sdp_windowed.py:19-36) needs
+# the W-rank window to span >= splitdist (50k, reference Options.h:191)
+# bases of q.  Repeat-dense problems (satellite arrays, nested dups) can
+# pack more than W anchors into one 50k q-span; _windowed_W escalates W
+# to cover the densest span, capped at WIN_WMAX (beyond which the miss is
+# accepted and documented — PARITY.md).
+WIN_WMAX = 16384
+SPLIT_SPAN = 50000
+
+
+def _windowed_W(qS, base: int = WIN_W, cap: int = WIN_WMAX) -> int:
+    """Pick the near-window size for one q-sorted problem: the smallest
+    power-of-two >= the max number of fragments in any SPLIT_SPAN q-span
+    (so every unsaturated predecessor candidate is seen exactly), floored
+    at `base` and capped at `cap`."""
+    n = len(qS)
+    if n == 0:
+        return base
+    lo = np.searchsorted(qS, qS - SPLIT_SPAN, side="left")
+    dens = int((np.arange(n) - lo).max()) + 1
+    W = base
+    while W < min(dens, cap):
+        W *= 2
+    return W
 # giant problems (megabase contigs) are additionally split into q-range
 # shards with a left halo and stitched (SURVEY.md §5's sequence-parallel
 # analog).  The halo exceeds the reference's splitdist (50k,
@@ -105,11 +131,11 @@ def _chain_packed_masked(qS, qE, tS, tE, sc, l1, l2, valid, key):
         axis=1)
 
 
-def _chain_packed_windowed(args, key):
+def _chain_packed_windowed(args, key, W=WIN_W):
     import jax
     import jax.numpy as jnp
 
-    V, bp, lane = chain_scores_windowed(*args, key, L=WIN_L, W=WIN_W)
+    V, bp, lane = chain_scores_windowed(*args, key, L=WIN_L, W=W)
     return jnp.stack([jax.lax.bitcast_convert_type(V, jnp.int32),
                       bp * 4 + lane])
 
@@ -225,14 +251,18 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
             by_bucket.setdefault((_bucket(n), p.need_full), []).append(p)
         else:
             # windowed kernel may emit FAR sentinels the host must
-            # resolve, so it always downloads the full result
+            # resolve, so it always downloads the full result; W is
+            # escalated per problem by the repeat-density guard
             N = ((n + 8191) // 8192) * 8192
-            windowed.setdefault((N, True), []).append(p)
+            windowed.setdefault((N, _windowed_W(p.qS)), []).append(p)
     key = gp.static_key()
     pending = []
-    for (N, full), plist in list(by_bucket.items()) + \
+    for bkey, plist in list(by_bucket.items()) + \
             list(windowed.items()):
+        N = bkey[0]
         is_win = N > _BUCKETS[-1]
+        win_W = bkey[1] if is_win else 0
+        full = True if is_win else bkey[1]
         B = batch_multiple(_pow2(len(plist), 1 if is_win else 8))
         def pad(attr, dtype, fill=0):
             out = np.full((B, N), fill, dtype)
@@ -274,7 +304,7 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                 sch["perm1"], sch["perm2"], sch["ok1"], sch["ok2"],
                 sch["qer1"], sch["qer2"], sch["rank1"], sch["rank2"],
                 sch["ins_hi"]))
-            packed = _chain_packed_windowed(args, key)
+            packed = _chain_packed_windowed(args, key, win_W)
         elif full:
             # async dispatch across all buckets before any download
             packed = _chain_packed(

@@ -104,6 +104,81 @@ def test_read_bam_decodes(bam_world):
     assert got[2].flag == 16
 
 
+def _aux_zoo() -> bytes:
+    """One tag of every BAM aux type (reference: Input.h:296-388)."""
+    t = b""
+    t += b"AAA" + b"Q"                                   # A
+    t += b"ABc" + struct.pack("b", -5)                   # int8
+    t += b"ACC" + struct.pack("B", 200)                  # uint8
+    t += b"ADs" + struct.pack("<h", -3000)               # int16
+    t += b"AES" + struct.pack("<H", 60000)               # uint16
+    t += b"AFi" + struct.pack("<i", -100000)             # int32
+    t += b"AGI" + struct.pack("<I", 3000000000)          # uint32
+    t += b"AHf" + struct.pack("<f", 1.5)                 # float
+    t += b"AIZ" + b"hello world\x00"                     # string
+    t += b"AJH" + b"1AFF\x00"                            # hex string
+    for sub, fmt, vals in (("c", "b", [-1, 2]), ("C", "B", [3, 250]),
+                           ("s", "<h", [-300, 301]), ("S", "<H", [65000, 1]),
+                           ("i", "<i", [-70000, 2]), ("I", "<I", [4000000000]),
+                           ("f", "<f", [0.25, -2.0])):
+        body = b"".join(struct.pack(fmt, v) for v in vals)
+        t += (f"B{sub}".encode() + b"B" + sub.encode()
+              + struct.pack("<I", len(vals)) + body)
+    return t
+
+
+def test_aux_type_zoo(tmp_path):
+    """Every aux type decodes; CG long-CIGAR records parse; missing qual
+    (0xFF fill) maps to None; a record split mid-struct across BGZF
+    blocks decodes (reference: Input.h:296-388 aux handling)."""
+    seq = "ACGTACGTAC"
+    # record 1: full aux zoo
+    r1 = bam_record("z0", seq, bytes([40] * 10), 0, _aux_zoo())
+    # record 2: >65535-op CIGAR via CG:B,I tag + placeholder cigar ops;
+    # n_cigar_op bytes must be skipped, CG array must parse
+    n_ops = 70000
+    cg = (b"CGBI" + struct.pack("<I", n_ops)
+          + struct.pack("<I", (10 << 4) | 4) * n_ops)
+    body = struct.pack("<iiBBHHHiiii", 0, 100, 3, 30, 0, 2, 0,
+                       10, -1, -1, 0)
+    body += b"z1\x00" + struct.pack("<II", (5 << 4) | 3, (10 << 4) | 4)
+    seq4 = bytearray()
+    for i in range(0, 10, 2):
+        seq4.append((_SEQ_NIBBLE[seq[i]] << 4) | _SEQ_NIBBLE[seq[i + 1]])
+    body += bytes(seq4) + bytes([0xFF] * 10) + cg
+    r2 = struct.pack("<i", len(body)) + body
+    # record 3: plain, lands after the giant one
+    r3 = bam_record("z2", seq, bytes([20] * 10), 0, b"NMi" + struct.pack("<i", 1))
+    header_text = b"@HD\tVN:1.6\n"
+    payload = (b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
+               + struct.pack("<i", 1) + struct.pack("<i", 5) + b"chr1\x00"
+               + struct.pack("<i", 1000) + r1 + r2 + r3)
+    path = tmp_path / "zoo.bam"
+    with open(path, "wb") as f:
+        # force splits inside r1's fixed-size struct and inside r2's CG array
+        cut1 = len(payload) - len(r1) - len(r2) - len(r3) + 10
+        cut2 = cut1 + len(r1) + 60
+        f.write(bgzf_block(payload[:cut1]))
+        f.write(bgzf_block(payload[cut1:cut2]))
+        f.write(bgzf_block(payload[cut2:]))
+        f.write(BGZF_EOF)
+    got = list(read_bam(str(path)))
+    assert [r.name for r in got] == ["z0", "z1", "z2"]
+    tags = got[0].passthrough
+    for want in ("AA:A:Q", "AB:i:-5", "AC:i:200", "AD:i:-3000",
+                 "AE:i:60000", "AF:i:-100000", "AG:i:3000000000",
+                 "AH:f:1.5", "AI:Z:hello world", "AJ:H:1AFF",
+                 "Bc:B:c,-1,2", "BC:B:C,3,250", "Bs:B:s,-300,301",
+                 "BS:B:S,65000,1", "Bi:B:i,-70000,2", "BI:B:I,4000000000",
+                 "Bf:B:f,0.25,-2"):
+        assert want in tags, (want, tags)
+    assert got[1].seq.decode() == seq
+    assert got[1].qual is None          # 0xFF fill = missing qual
+    assert got[1].passthrough.startswith("CG:B:I,164,")
+    assert got[1].passthrough.count(",") == n_ops
+    assert got[2].passthrough == "NM:i:1"
+
+
 def test_align_bam_passthrough(bam_world):
     d, _ = bam_world
     env = dict(os.environ, JAX_PLATFORMS="cpu",

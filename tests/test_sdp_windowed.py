@@ -140,6 +140,70 @@ def test_realistic_contig_small_window_top_chain():
     np.testing.assert_allclose(Vw.max(), Vo.max(), rtol=1e-5, atol=1.0)
 
 
+def test_adversarial_repeat_dense_density_guard():
+    """VERDICT r2 item 6: repeat-dense instance (satellite-array decoy
+    cloud) where a true predecessor is >W ranks back in q yet
+    diag-unsaturated — missed by the base near window, under-charged by
+    the saturated far term.  Quantifies the chain-value loss at the base
+    W and shows the driver's density guard (chain/driver.py:_windowed_W)
+    escalates W so the loss vanishes."""
+    from lra_tpu.chain.driver import SPLIT_SPAN, _windowed_W
+
+    rng = np.random.default_rng(19)
+    gp = from_options(preset("contig"))
+    sat = len(gp.table)          # diag distance where the PWL saturates
+    # true chain: colinear anchors every 60bp, diag 100
+    n_true = 400
+    qT = np.arange(n_true, dtype=np.int64) * 60
+    tT = qT + 100
+    # satellite decoy cloud: 1200 anchors packed into the 59bp q-gap
+    # between two adjacent true anchors, each on a distant (saturated)
+    # diagonal — so the true edge across the cloud is >W ranks long in q
+    # while being diag-unsaturated (cost ~free)
+    n_dec = 1200
+    mid = qT[n_true // 2]
+    qD = mid + 1 + rng.integers(0, 58, n_dec).astype(np.int64)
+    tD = qD + sat + rng.integers(10**6, 2 * 10**6, n_dec).astype(np.int64)
+    ln = 50
+    qS = np.concatenate([qT, qD])
+    tS = np.concatenate([tT, tD])
+    o = np.argsort(qS, kind="stable")
+    qS, tS = qS[o], tS[o]
+    qE, tE = qS + ln, tS + ln
+    sc = np.where(tS > 10**6, 10.0, 120.0).astype(np.float32)  # decoys weak
+    l1 = np.ones(len(qS), bool)
+    l2 = np.zeros(len(qS), bool)
+
+    # density check: the cloud packs ~1600 fragments into one 50k q-span
+    W_esc = _windowed_W(qS, base=64, cap=4096)
+    assert W_esc >= 2048, W_esc
+
+    Vo, _ = oracle(qS, qE, tS, tE, sc, l1, l2, gp)
+    Vw64, _, _ = run_windowed(qS, qE, tS, tE, sc, l1, l2, gp, L=32, W=64)
+    # base window: never overestimates, and the miss is REAL — the chain
+    # crossing the cloud loses (far term charges ceiling2 for a
+    # diag-unsaturated true edge)
+    assert np.all(Vw64 <= Vo + 1.0)
+    loss64 = float((Vo - Vw64).max())
+    assert loss64 > 10.0, loss64
+
+    Vwg, _, _ = run_windowed(qS, qE, tS, tE, sc, l1, l2, gp, L=32, W=W_esc)
+    np.testing.assert_allclose(Vwg, Vo, rtol=1e-5, atol=1.0)
+
+
+def test_windowed_W_guard_basic():
+    from lra_tpu.chain.driver import SPLIT_SPAN, WIN_W, WIN_WMAX, _windowed_W
+
+    # sparse problem: density below base -> base W
+    qS = np.arange(100_000, dtype=np.int64) * 1000
+    assert _windowed_W(qS) == WIN_W
+    # everything in one span -> escalates, capped
+    qS = np.sort(np.random.default_rng(0).integers(
+        0, SPLIT_SPAN // 2, 40_000)).astype(np.int64)
+    assert _windowed_W(qS) == WIN_WMAX
+    assert _windowed_W(np.array([], dtype=np.int64)) == WIN_W
+
+
 def test_far_sentinel_resolution():
     """Predecessor outside the window at saturated diag distance: the far
     term must chain across it and the host must resolve the sentinel."""
