@@ -39,12 +39,22 @@ def plan_end_extension(seg, read_len: int, chrom_len: int) -> None:
 
 
 def plan_refine_regions(seg, opts: Options):
-    """Group block runs to re-align (reference: IndelRefine.h:133-165).
-    Returns list of (start_block, end_block_inclusive)."""
+    """Group block runs to re-align (reference: IndelRefine.h:133-230).
+
+    Regions TILE the block list the way the reference's walk does:
+    consecutive regions share a boundary block whose bases are
+    progressively consumed — a region takes the first max_gap bases of a
+    long end block and the remainder becomes the next region's start
+    flank (IndelRefine.h:197-211, 765-771); a short end block is
+    consumed whole and the next region starts after it.
+
+    Returns list of (lo, hi_inclusive, trim0, keep1): the region's
+    window is blocks[lo] offset by trim0 .. blocks[hi] + keep1."""
     blocks = seg.blocks
     max_gap = opts.refine_band - 1
     regions = []
     i = 0
+    consumed = 0    # bases of blocks[i] consumed by the previous region
     n = len(blocks)
     while i < n:
         j = i
@@ -70,8 +80,19 @@ def plan_refine_regions(seg, opts: Options):
             else:
                 break
         if j > i:
-            regions.append((i, j))
-        i = max(j, i + 1)
+            eff_len = blocks[i][2] - consumed
+            trim0 = consumed + max(0, eff_len - max_gap)
+            keep1 = min(blocks[j][2], max_gap)
+            regions.append((i, j, trim0, keep1))
+            if blocks[j][2] > max_gap:
+                i = j
+                consumed = max_gap
+            else:
+                i = j + 1
+                consumed = 0
+        else:
+            i += 1
+            consumed = 0
     return regions
 
 
@@ -90,7 +111,9 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
     # (X >= 2 CAN be beaten when a shift-periodic block separates the
     # SNPs, so those regions are re-DP'd like the reference does).
     diag_ok = diag_gap_guard(opts)
-    for (lo, hi) in plan_refine_regions(seg, opts):
+    plan = plan_refine_regions(seg, opts)
+    seg.refine_plan = plan
+    for (lo, hi, trim0, keep1) in plan:
         if diag_ok:
             mm_total = 0
             diagonal = True
@@ -109,59 +132,113 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
         # long flanking blocks stay fixed; only their trailing/leading
         # max_gap bases enter the window (reference: IndelRefine.h:175-205)
         q0, t0, ln0 = seg.blocks[lo]
-        trim0 = max(0, ln0 - max_gap)
         q0 += trim0
         t0 += trim0
         qe_b, te_b, ln_b = seg.blocks[hi]
-        keep1 = min(ln_b, max_gap)
         q1, t1 = qe_b + keep1, te_b + keep1
         if q1 <= q0 or t1 <= t0:
             continue
-        drift = abs((q1 - q0) - (t1 - t0))
-        band = opts.refine_band + drift
-        job = GapJob(read[q0:q1], chrom[t0:t1],
+        if q1 - q0 < opts.refine_band or t1 - t0 < opts.refine_band:
+            # tiny window: the reference falls back to the linear
+            # one-gap aligner (IndelRefine.h:344-357), full window
+            job = GapJob(read[q0:q1], chrom[t0:t1],
+                         key_prefix + (lo, hi, q0, t0, trim0, keep1))
+            job.band = opts.refine_band
+            jobs.append(job)
+            continue
+        # band must cover the path's MAX intermediate diagonal offset,
+        # not just the net drift (an existing +m then -m indel pair has
+        # net drift 0 but wanders m off the rectangle diagonal); the
+        # reference's shaped band follows the path with halfwidth k
+        # (IndelRefine.h:230-330) — our rectangular band is its superset
+        maxoff = 0
+        for b in range(lo, hi + 1):
+            bq, bt, _bl = seg.blocks[b]
+            off = (bq - q0) - (bt - t0)
+            maxoff = max(maxoff, abs(off))
+        band = opts.refine_band + maxoff
+        # first window base (a flank-block match) is force-paired at
+        # zero score (IndelRefine.h:674); pass the SHIFTED window to the
+        # refine DP, splice_refined_blocks prepends the (q0, t0, 1) block
+        job = GapJob(read[q0 + 1:q1], chrom[t0 + 1:t1],
                      key_prefix + (lo, hi, q0, t0, trim0, keep1))
         job.band = band
+        job.refine = True
         jobs.append(job)
     return jobs
 
 
 def splice_refined_blocks(seg, jobs: list) -> None:
-    """Replace each region's blocks with its re-aligned blocks."""
-    if not jobs:
+    """Rebuild seg.blocks from the tiled region plan (reference:
+    IndelRefine.h:133-230, 765-780): each planned region is replaced by
+    its retained start-flank piece + its re-aligned window blocks (the
+    forced first pair prepended for refine-DP jobs); the end block's
+    remainder flows into the next region or is emitted as-is.  Regions
+    without a job (the provably-identity fast path) keep their original
+    blocks, clipped to the same tiling cuts."""
+    plan = getattr(seg, "refine_plan", None)
+    if not plan:
         return
-    repl = {}
+    jobmap = {}
     for job in jobs:
-        lo, hi, q0, t0, trim0, keep1 = job.key[3:9]
-        if job.blocks:
-            nb = [(q0 + bq, t0 + bt, bl) for (bq, bt, bl) in job.blocks]
-            # retained flank pieces of the trimmed boundary blocks
-            pre = []
-            if trim0 > 0:
-                bq, bt, _ = seg.blocks[lo]
-                pre = [(bq, bt, trim0)]
-            post = []
-            bq, bt, bl = seg.blocks[hi]
-            if bl > keep1:
-                post = [(bq + keep1, bt + keep1, bl - keep1)]
-            repl[(lo, hi)] = pre + nb + post
-    if not repl:
-        return
-    # splice by slices (regions are disjoint), then a vectorized
-    # monotonicity check with the python drop-scan only on violation
-    out = []
+        jobmap[(job.key[3], job.key[4])] = job
+    blocks = seg.blocks
+    out: list = []
+
+    def emit(bq, bt, bl):
+        # merge contiguous pieces of the same original block back
+        if bl <= 0:
+            return
+        if out and out[-1][0] + out[-1][2] == bq and \
+                out[-1][1] + out[-1][2] == bt:
+            out[-1] = (out[-1][0], out[-1][1], out[-1][2] + bl)
+        else:
+            out.append((bq, bt, bl))
+
     i = 0
-    for (lo, hi), nb in sorted(repl.items()):
-        if lo < i:
-            # regions from plan_refine_regions can share a boundary
-            # block (i = max(j, i+1)); the first span wins and an
-            # overlapping successor is dropped, exactly like the
-            # original index walk
-            continue
-        out.extend(seg.blocks[i:lo])
-        out.extend(nb)
-        i = hi + 1
-    out.extend(seg.blocks[i:])
+    consumed = 0     # bases of blocks[i] already emitted
+    for (lo, hi, trim0, keep1) in plan:
+        for b in range(i, lo):
+            bq, bt, bl = blocks[b]
+            s0 = consumed if b == i else 0
+            emit(bq + s0, bt + s0, bl - s0)
+        if lo > i:
+            consumed = 0
+        q0 = blocks[lo][0] + trim0
+        t0 = blocks[lo][1] + trim0
+        # start-flank piece of block lo not covered by the window
+        emit(blocks[lo][0] + consumed, blocks[lo][1] + consumed,
+             trim0 - consumed)
+        job = jobmap.get((lo, hi))
+        if job is not None and job.refine:
+            # refine jobs are solved on the window shifted by one base;
+            # prepend the forced (q0, t0) pair, merging when adjacent
+            for (bq, bt, bl) in [(q0, t0, 1)] + [
+                    (q0 + 1 + bq, t0 + 1 + bt, bl)
+                    for (bq, bt, bl) in (job.blocks or [])]:
+                emit(bq, bt, bl)
+        elif job is not None:
+            emit(q0, t0, 0)   # no-op, keeps structure explicit
+            for (bq, bt, bl) in (job.blocks or []):
+                emit(q0 + bq, t0 + bt, bl)
+        else:
+            # identity region (fast path): original blocks clipped to
+            # the window cuts
+            for b in range(lo, hi + 1):
+                bq, bt, bl = blocks[b]
+                s0 = trim0 if b == lo else 0
+                e0 = keep1 if b == hi else bl
+                emit(bq + s0, bt + s0, e0 - s0)
+        if blocks[hi][2] > keep1:
+            i = hi
+            consumed = keep1
+        else:
+            i = hi + 1
+            consumed = 0
+    for b in range(i, len(blocks)):
+        bq, bt, bl = blocks[b]
+        s0 = consumed if b == i else 0
+        emit(bq + s0, bt + s0, bl - s0)
     a = np.asarray(out, np.int64)
     if len(a):
         q, t, ln = a[:, 0], a[:, 1], a[:, 2]

@@ -39,6 +39,9 @@ class Segment:
     order: int = 0
     runtime: int = 0
     md: str = ""                      # MD:Z tag (when opts.print_md)
+    # indel-refine region tiling (plan_refine_regions), set by
+    # queue_indel_refine_jobs and consumed by splice_refined_blocks
+    refine_plan: list = None
 
     @property
     def qStart(self):

@@ -306,6 +306,324 @@ def traceback_banded(arrows: np.ndarray, qlen: int, tlen: int, K: int):
     return blocks, out_ops
 
 
+# ---------------------------------------------------------------------------
+# Indel-refine DP: the reference's IndelRefineAlignment matrix
+# (reference: IndelRefine.h:339-612) — linear single-step gaps (cost
+# `indel`) PLUS affine lanes with gapOpen = 2*indel+1 and gapExtend = 0,
+# so a gap run of length g costs max(g*indel, open): length-1 gaps stay
+# linear, longer gaps consolidate under one open.  Main-matrix tie order
+# is match > ins(linear) > del(linear) > delClose > insClose
+# (IndelRefine.h:585-612); within each lane, open beats extend on ties
+# (IndelRefine.h:504-512).  The first q/t base of the window is force-
+# paired at zero score (IndelRefine.h:674 pushes the final diag;
+# "The first base is always aligned here") — callers pass the window
+# SHIFTED by one base and prepend the (0,0,1) block — and the i=0
+# column is a rail for j >= 1 (IndelRefine.h:414: row-start cells BAD),
+# so the region cannot open with a target deletion.
+#
+# With gapExtend = 0 the within-row recurrence collapses: the ins lane
+# is I[d] = prefixmax(base)[d-1] + open (one open covers any run
+# length), and S[d] = max(leftclosure(base)[d], I[d]) — two log-doubling
+# closures, same cost class as the linear kernel.
+# ---------------------------------------------------------------------------
+
+REF_DELC = 4   # main arrow: close a target-gap (del) affine run
+REF_INSC = 5   # main arrow: close a query-gap (ins) affine run
+_DEL_OPEN_BIT = 8
+_INS_OPEN_BIT = 16
+
+
+def _refine_arrows(q, t, qlen, tlen, K, m, mm, indel, kband=None):
+    """Refine-DP banded scan; returns (score f32[B],
+    planes int8[T+1, B, band]) where plane = main arrow (bits 0-2) |
+    delOpen (bit 3) | insOpen (bit 4), -1 at rails."""
+    B, Q = q.shape
+    T = t.shape[1]
+    band = 2 * K + 1
+    open_ = 2 * indel + 1
+    offs = jnp.arange(-K, K + 1, dtype=jnp.int32)
+    if kband is None:
+        kband = jnp.full((B,), K, dtype=jnp.int32)
+    in_band = (offs[None, :] >= -kband[:, None]) & \
+              (offs[None, :] <= kband[:, None])
+
+    qpad = jnp.pad(q.astype(jnp.int32), ((0, 0), (K + 1, K + T + 1)),
+                   constant_values=5)
+
+    row0 = jnp.where((offs[None, :] >= 0) & in_band
+                     & (offs[None, :] <= qlen[:, None]),
+                     indel * offs[None, :].astype(jnp.float32), NEGF)
+    arrows0 = jnp.where(offs[None, :] > 0, LEFT,
+                        jnp.where(offs[None, :] == 0, DONE, -1)
+                        ).astype(jnp.int8)
+    arrows0 = jnp.where(in_band & (offs[None, :] <= qlen[:, None]),
+                        arrows0, jnp.int8(-1))
+
+    log_steps = int(np.ceil(np.log2(band)))
+
+    def step(carry, j):
+        Sp, Dp = carry                     # rows j-1: [B, band]
+        qrow = jax.lax.dynamic_slice_in_dim(qpad, j, band, axis=1)
+        sub = jnp.where(qrow == t[:, j - 1][:, None], float(m), float(mm))
+
+        shiftS = jnp.concatenate([Sp[:, 1:], jnp.full((B, 1), NEGF)], axis=1)
+        shiftD = jnp.concatenate([Dp[:, 1:], jnp.full((B, 1), NEGF)], axis=1)
+
+        # del lane (target-gap run at fixed i): open from S or extend (+0)
+        D_new = jnp.maximum(shiftS + float(open_), shiftD)
+        del_open = D_new == shiftS + float(open_)
+
+        sMat = Sp + sub
+        delLin = shiftS + float(indel)
+        base = jnp.maximum(jnp.maximum(sMat, delLin), D_new)
+
+        i_vals = j + offs[None, :]
+        # i >= 1: the i=0 column is a rail for j >= 1 (IndelRefine.h:414)
+        valid = (i_vals >= 1) & (i_vals <= qlen[:, None]) & \
+                (j <= tlen[:, None]) & in_band
+        base = jnp.where(valid, base, NEGF)
+
+        # within-row closures over d
+        L0 = base
+        for s in range(log_steps):
+            sh = 1 << s
+            shifted = jnp.concatenate(
+                [jnp.full((B, sh), NEGF), L0[:, :-sh]], axis=1)
+            L0 = jnp.maximum(L0, shifted + float(indel) * sh)
+        PM = base
+        for s in range(log_steps):
+            sh = 1 << s
+            shifted = jnp.concatenate(
+                [jnp.full((B, sh), NEGF), PM[:, :-sh]], axis=1)
+            PM = jnp.maximum(PM, shifted)
+        I_row = jnp.concatenate(
+            [jnp.full((B, 1), NEGF), PM[:, :-1]], axis=1) + float(open_)
+        S_row = jnp.maximum(L0, I_row)
+        S_row = jnp.where(valid, S_row, NEGF)
+        I_row = jnp.where(valid, I_row, NEGF)
+
+        S_left = jnp.concatenate([jnp.full((B, 1), NEGF), S_row[:, :-1]],
+                                 axis=1)
+        ins_open = I_row == S_left + float(open_)
+
+        # main tie order: match > ins > del > delClose > insClose
+        arr = jnp.where(
+            S_row == sMat, DIAG,
+            jnp.where(S_row == S_left + float(indel), LEFT,
+                      jnp.where(S_row == delLin, DOWN,
+                                jnp.where(S_row == D_new, REF_DELC,
+                                          REF_INSC)))).astype(jnp.int8)
+        plane = (arr
+                 | jnp.where(del_open, _DEL_OPEN_BIT, 0).astype(jnp.int8)
+                 | jnp.where(ins_open, _INS_OPEN_BIT, 0).astype(jnp.int8))
+        plane = jnp.where(valid, plane, jnp.int8(-1))
+
+        D_out = jnp.where(valid, D_new, NEGF)
+        return (S_row, D_out), (S_row, plane)
+
+    D0 = jnp.full((B, band), NEGF)
+    (_, _), (rows, planes) = jax.lax.scan(
+        step, (row0, D0), jnp.arange(1, T + 1))
+    rows = jnp.concatenate([row0[None], rows], axis=0)
+    planes = jnp.concatenate([arrows0[None], planes], axis=0)
+    d_final = (qlen - tlen + K).astype(jnp.int32)
+    score = rows[tlen, jnp.arange(B), d_final]
+    return score, planes
+
+
+def _traceback_refine_device(planes, qlen, tlen, K, L):
+    """Lane-aware device traceback over refine planes [T+1, B, band].
+    Emits one op per step (LEFT/DOWN/DIAG), -1 past the end — identical
+    output format to _traceback_ops_device, so the packed download and
+    host unpack/blocks code are shared."""
+    T1, B, band = planes.shape
+    arr_b = jnp.transpose(planes, (1, 0, 2))
+    barange = jnp.arange(B, dtype=jnp.int32)
+    MAIN, DEL, INS = 0, 1, 2
+
+    def step(state, _):
+        i, j, lane, active = state
+        d = i - j + K
+        ok = active & (i >= 0) & (j >= 0) & (d >= 0) & (d < band)
+        jc = jnp.clip(j, 0, T1 - 1)
+        dc = jnp.clip(d, 0, band - 1)
+        p = arr_b[barange, jc, dc].astype(jnp.int32)
+        code = p & 7
+        rail = (p < 0) | ~ok
+        dopen = (p & _DEL_OPEN_BIT) != 0
+        iopen = (p & _INS_OPEN_BIT) != 0
+        # del-lane action: in the del lane, or main cell says delClose
+        act_del = (lane == DEL) | ((lane == MAIN) & (code == REF_DELC))
+        act_ins = (lane == INS) | ((lane == MAIN) & (code == REF_INSC))
+        act_del &= ~rail
+        act_ins &= ~rail
+        plain = (lane == MAIN) & ~rail & (code != REF_DELC) & \
+            (code != REF_INSC) & (code != DONE)
+        a = jnp.where(
+            act_del, DOWN,
+            jnp.where(act_ins, LEFT,
+                      jnp.where(plain, code, -1))).astype(jnp.int8)
+        lane2 = jnp.where(act_del, jnp.where(dopen, MAIN, DEL),
+                          jnp.where(act_ins, jnp.where(iopen, MAIN, INS),
+                                    MAIN)).astype(jnp.int32)
+        di = jnp.where((a == DIAG) | (a == LEFT), 1, 0)
+        dj = jnp.where((a == DIAG) | (a == DOWN), 1, 0)
+        return ((i - di).astype(jnp.int32), (j - dj).astype(jnp.int32),
+                lane2, a >= 0), a
+
+    init = (qlen.astype(jnp.int32), tlen.astype(jnp.int32),
+            jnp.zeros(qlen.shape, jnp.int32), jnp.ones(qlen.shape, bool))
+    _, ops = jax.lax.scan(step, init, None, length=L)
+    return jnp.transpose(ops)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "m", "mm", "indel"))
+def banded_refine_traced_packed(q, t, qlen, tlen, K, m, mm, indel,
+                                kband=None):
+    """Refine DP + lane-aware device traceback, 2-bit packed like
+    banded_global_traced_packed (shared unpack/blocks path)."""
+    assert (q.shape[1] + t.shape[1]) % 4 == 0
+    _score, planes = _refine_arrows(q, t, qlen, tlen, K, m, mm, indel,
+                                    kband)
+    L = q.shape[1] + t.shape[1]
+    ops = _traceback_refine_device(planes, qlen, tlen, K, L)
+    o = jnp.where(ops < 0, 0, ops).astype(jnp.uint8)
+    return (o[:, 0::4] | (o[:, 1::4] << 2) | (o[:, 2::4] << 4)
+            | (o[:, 3::4] << 6))
+
+
+def banded_refine_np(q, t, qlen, tlen, K, m, mm, indel, kband):
+    """Numpy mirror of _refine_arrows (host fallback; identical
+    recurrence and tie order)."""
+    B, Q = q.shape
+    T = t.shape[1]
+    band = 2 * K + 1
+    open_ = 2 * indel + 1
+    offs = np.arange(-K, K + 1, dtype=np.int64)
+    in_band = (offs[None, :] >= -kband[:, None]) & \
+              (offs[None, :] <= kband[:, None])
+    NEGF_ = np.float32(-1.0e30)
+
+    qpad = np.full((B, Q + 2 * K + T + 2), 5, np.int32)
+    qpad[:, K + 1:K + 1 + Q] = q
+
+    Sp = np.where((offs[None, :] >= 0) & in_band
+                  & (offs[None, :] <= qlen[:, None]),
+                  indel * offs[None, :].astype(np.float32), NEGF_)
+    planes = np.full((B, T + 1, band), -1, np.int8)
+    planes[:, 0] = np.where(offs[None, :] > 0, LEFT,
+                            np.where(offs[None, :] == 0, DONE, -1))
+    planes[:, 0][~(in_band & (offs[None, :] <= qlen[:, None]))] = -1
+
+    log_steps = int(np.ceil(np.log2(band)))
+    rows_all = np.full((B, T + 1, band), NEGF_, np.float32)
+    rows_all[:, 0] = Sp
+    Dp = np.full((B, band), NEGF_, np.float32)
+    for j in range(1, T + 1):
+        qrow = qpad[:, j:j + band]
+        sub = np.where(qrow == t[:, j - 1][:, None], float(m), float(mm))
+        shiftS = np.concatenate([Sp[:, 1:], np.full((B, 1), NEGF_)], axis=1)
+        shiftD = np.concatenate([Dp[:, 1:], np.full((B, 1), NEGF_)], axis=1)
+        D_new = np.maximum(shiftS + float(open_), shiftD)
+        del_open = D_new == shiftS + float(open_)
+        sMat = Sp + sub
+        delLin = shiftS + float(indel)
+        base = np.maximum(np.maximum(sMat, delLin), D_new)
+        i_vals = j + offs[None, :]
+        valid = (i_vals >= 1) & (i_vals <= qlen[:, None]) & \
+                (j <= tlen[:, None]) & in_band
+        base = np.where(valid, base, NEGF_)
+        L0 = base
+        PM = base
+        for s in range(log_steps):
+            sh = 1 << s
+            L0 = np.maximum(L0, np.concatenate(
+                [np.full((B, sh), NEGF_), L0[:, :-sh]], axis=1)
+                + float(indel) * sh)
+            PM = np.maximum(PM, np.concatenate(
+                [np.full((B, sh), NEGF_), PM[:, :-sh]], axis=1))
+        I_row = np.concatenate(
+            [np.full((B, 1), NEGF_), PM[:, :-1]], axis=1) + float(open_)
+        S_row = np.where(valid, np.maximum(L0, I_row), NEGF_)
+        I_row = np.where(valid, I_row, NEGF_)
+        S_left = np.concatenate([np.full((B, 1), NEGF_), S_row[:, :-1]],
+                                axis=1)
+        ins_open = I_row == S_left + float(open_)
+        arr = np.where(
+            S_row == sMat, DIAG,
+            np.where(S_row == S_left + float(indel), LEFT,
+                     np.where(S_row == delLin, DOWN,
+                              np.where(S_row == D_new, REF_DELC,
+                                       REF_INSC)))).astype(np.int8)
+        plane = (arr | np.where(del_open, _DEL_OPEN_BIT, 0)
+                 | np.where(ins_open, _INS_OPEN_BIT, 0)).astype(np.int8)
+        planes[:, j] = np.where(valid, plane, np.int8(-1))
+        Dp = np.where(valid, D_new, NEGF_).astype(np.float32)
+        Sp = S_row.astype(np.float32)
+        rows_all[:, j] = S_row
+    d_final = (qlen - tlen + K).astype(np.int64)
+    score = rows_all[np.arange(B), tlen, d_final]
+    return score, planes
+
+
+def traceback_refine(planes: np.ndarray, qlen: int, tlen: int, K: int):
+    """Host lane-aware traceback of one problem's refine plane
+    [T+1, band].  Returns blocks [(q_off, t_off, len)]."""
+    i, j = int(qlen), int(tlen)
+    lane = 0    # 0 main, 1 del, 2 ins
+    ops: list = []
+    band = planes.shape[1]
+    while i >= 0 and j >= 0:
+        d = i - j + K
+        if d < 0 or d >= band:
+            break
+        p = int(planes[j, d])
+        if p < 0:
+            break
+        code = p & 7
+        if lane == 1 or (lane == 0 and code == REF_DELC):
+            ops.append(DOWN)
+            lane = 0 if (p & _DEL_OPEN_BIT) else 1
+            j -= 1
+        elif lane == 2 or (lane == 0 and code == REF_INSC):
+            ops.append(LEFT)
+            lane = 0 if (p & _INS_OPEN_BIT) else 2
+            i -= 1
+        elif code == DONE:
+            break
+        elif code == DIAG:
+            ops.append(DIAG)
+            i -= 1
+            j -= 1
+        elif code == LEFT:
+            ops.append(LEFT)
+            i -= 1
+        elif code == DOWN:
+            ops.append(DOWN)
+            j -= 1
+        else:
+            break
+    blocks = []
+    qPos = tPos = 0
+    run = 0
+    for op in ops[::-1]:
+        if op == DIAG:
+            run += 1
+            qPos += 1
+            tPos += 1
+        else:
+            if run:
+                blocks.append((qPos - run, tPos - run, run))
+                run = 0
+            if op == LEFT:
+                qPos += 1
+            else:
+                tPos += 1
+    if run:
+        blocks.append((qPos - run, tPos - run, run))
+    return blocks
+
+
 def banded_global_np(q, t, qlen, tlen, K, m, mm, indel, kband):
     """Batched numpy mirror of banded_global_kernel (identical recurrence,
     used as the host fallback so CPU-only runs get the same batching).

@@ -17,8 +17,10 @@ from ..align.affine import affine_one_gap_align
 from ..ops.affine_small import SMALL_MAX, solve_small_jobs
 from ..ops.affine_kernel import (banded_global_np,
                                  banded_global_traced_packed,
+                                 banded_refine_np,
+                                 banded_refine_traced_packed,
                                  blocks_from_ops_batch, traceback_banded,
-                                 unpack_ops)
+                                 traceback_refine, unpack_ops)
 from ..ops.affine_pallas import (banded_pallas_rowsync,
                                  blocks_from_rowsync, pallas_supported)
 from ..options import Options
@@ -74,6 +76,12 @@ class GapJob:
     key: tuple             # caller routing key
     blocks: list | None = None
     band: int | None = None    # override band halfwidth (indel refine)
+    # indel-refine job: solve with the reference's IndelRefine DP
+    # (affine gapOpen=2*indel+1 / gapExtend=0 lanes on top of linear
+    # single-step gaps, reference IndelRefine.h:339-612) instead of the
+    # linear banded-global DP; the caller passes the window SHIFTED one
+    # base (the first pair is forced) and prepends the (0,0,1) block
+    refine: bool = False
     # creator already proved the job is not a trivial diagonal (e.g. the
     # assembly walk's vectorized pre-classification) — skip the per-job
     # re-check (it is pure overhead on tens of thousands of ONT gaps)
@@ -131,7 +139,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             continue
         if in_regime[i]:
             kb = int(kb_v[i])
-            if not use_device and mx[i] <= SMALL_MAX:
+            if not use_device and mx[i] <= SMALL_MAX and not job.refine:
                 # host path only: tiny jobs via the batched numpy DP
                 # (ops/affine_small.py; identical scores/tie-order).  On
                 # device they ride the S=16/32 buckets instead — their
@@ -146,7 +154,21 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             # device round trip)
             S = (_SIZE_BUCKETS[S_idx[i]] if S_idx[i] < len(_SIZE_BUCKETS)
                  else _pow2_at_least(int(mx[i]), 4096))
-            device_jobs.setdefault((int(Kc_v[i]), S), []).append((job, kb))
+            device_jobs.setdefault((int(Kc_v[i]), S, job.refine),
+                                   []).append((job, kb))
+            continue
+        if job.refine:
+            # out-of-regime refine region (giant drift): host refine DP
+            K1 = int(band_in_v[i])
+            _sc, planes = banded_refine_np(
+                job.q.reshape(1, -1).astype(np.int8),
+                job.t.reshape(1, -1).astype(np.int8),
+                np.array([len(job.q)], np.int32),
+                np.array([len(job.t)], np.int32), K1, opts.local_match,
+                opts.local_mismatch, opts.local_indel,
+                np.array([K1], np.int32))
+            job.blocks = traceback_refine(planes[0], len(job.q),
+                                          len(job.t), K1)
             continue
         res = affine_one_gap_align(job.q, job.t, opts.local_match,
                                    opts.local_mismatch, opts.local_indel,
@@ -164,7 +186,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     from ..parallel.mesh import batch_multiple, place
 
     pending = []
-    for (K, S), items in device_jobs.items():
+    for (K, S, refine), items in device_jobs.items():
         if use_device:
             B = 8
             while B < len(items):
@@ -183,7 +205,20 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             qlen[b] = len(job.q)
             tlen[b] = len(job.t)
             kband[b] = kb
-        if use_device:
+        if use_device and refine:
+            # refine DP + lane-aware device traceback; same packed op
+            # format, so the merged download and unpack path are shared
+            ops = banded_refine_traced_packed(
+                place(q), place(t), place(qlen), place(tlen), K,
+                opts.local_match, opts.local_mismatch,
+                opts.local_indel, kband=place(kband))
+            pending.append((None, items, qlen, tlen, ops))
+        elif not use_device and refine:
+            _sc, planes = banded_refine_np(
+                q, t, qlen, tlen, K, opts.local_match,
+                opts.local_mismatch, opts.local_indel, kband)
+            pending.append(("refine_np", items, qlen, tlen, planes))
+        elif use_device:
             # async dispatch: traceback runs on device; only a compact
             # plane comes back.  The Pallas kernel (fused DP +
             # row-synchronous traceback, ops/affine_pallas.py) handles the
@@ -247,6 +282,11 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
                 unpack_ops(plane[:len(items)], mark_term=False))
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
+        elif K == "refine_np":
+            for b, (job, kb) in enumerate(items):
+                job.blocks = traceback_refine(buf[b], int(qlen[b]),
+                                              int(tlen[b]),
+                                              (buf.shape[2] - 1) // 2)
         else:
             for b, (job, kb) in enumerate(items):
                 blocks, _ = traceback_banded(buf[b], qlen[b], tlen[b], K)

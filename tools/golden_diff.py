@@ -18,6 +18,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("LRA_TPU_FORCE_CPU"):
+    # the axon sitecustomize forces the TPU platform; this tool's device
+    # path is use_device=False, so force CPU to stay off a dead tunnel
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from lra_tpu import preset, seq as sequtils
 from lra_tpu.index.global_index import build_global_index
 from lra_tpu.io.genome import Genome
