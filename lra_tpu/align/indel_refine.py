@@ -58,6 +58,14 @@ def plan_refine_regions(seg, opts: Options):
     n = len(blocks)
     while i < n:
         j = i
+        # the region's window starts at the last max_gap unconsumed bases
+        # of blocks[i] (the trim0 logic below); the span cap must measure
+        # from THERE, not blocks[i][0] — measuring from the block start
+        # made any region following a long flank block blow the cap
+        # immediately and get planned without its left flank, putting
+        # consolidations that move the flank boundary out of DP reach
+        eff0 = blocks[i][2] - consumed
+        ws = blocks[i][0] + consumed + max(0, eff0 - max_gap)
         while j < n - 1:
             q, t, ln = blocks[j]
             qn, tn, ln_n = blocks[j + 1]
@@ -72,7 +80,7 @@ def plan_refine_regions(seg, opts: Options):
             # for the two flank windows so the job stays inside the
             # S=1024 size bucket — spilling into S=2048 doubles both the
             # kernel scan length and the op-plane download per job
-            span = qn + ln_n - blocks[i][0]
+            span = qn + min(ln_n, max_gap) - ws
             if qgap < max_gap and tgap < max_gap and \
                (j == i or blocks[j][2] < 100) and \
                span <= 1024 - 2 * max_gap:
@@ -103,19 +111,22 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
     jobs = []
     max_gap = opts.refine_band - 1
     # single-mismatch fast path: a region whose junctions are all
-    # diagonal-preserving (qgap == tgap) AND that contains at most ONE
-    # mismatched base total cannot be improved by the banded re-DP —
-    # converting X mismatches to matches gains X*(m-mm) but costs at
-    # least an ins+del pair 2|ind| plus one unalignable base m, so with
-    # |mm| < 2|ind| the diagonal is strictly optimal only for X <= 1
-    # (X >= 2 CAN be beaten when a shift-periodic block separates the
-    # SNPs, so those regions are re-DP'd like the reference does).
+    # diagonal-preserving (qgap == tgap) AND whose WINDOW contains at
+    # most ONE mismatched base total cannot be improved by the banded
+    # re-DP — converting X mismatches to matches gains X*(m-mm) but
+    # costs at least an ins+del pair 2|ind| plus one unalignable base m,
+    # so with |mm| < 2|ind| the diagonal is strictly optimal only for
+    # X <= 1 (X >= 2 CAN be beaten when a shift-periodic block separates
+    # the SNPs, so those regions are re-DP'd like the reference does).
+    # The count must cover every window base — block interiors included,
+    # not just junction gaps: colinear blocks can carry mismatch runs
+    # (e.g. a 3X from linear extension) that the DP can beat the same
+    # way it beats junction ones.
     diag_ok = diag_gap_guard(opts)
     plan = plan_refine_regions(seg, opts)
     seg.refine_plan = plan
     for (lo, hi, trim0, keep1) in plan:
         if diag_ok:
-            mm_total = 0
             diagonal = True
             for j in range(lo, hi):
                 q0, t0, l0 = seg.blocks[j]
@@ -123,12 +134,15 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
                 if q1 - (q0 + l0) != t1 - (t0 + l0):
                     diagonal = False
                     break
-                mm_total += int(np.count_nonzero(
-                    read[q0 + l0:q1] != chrom[t0 + l0:t1]))
-                if mm_total > 1:
-                    break
-            if diagonal and mm_total <= 1:
-                continue
+            if diagonal:
+                wq0 = seg.blocks[lo][0] + trim0
+                wt0 = seg.blocks[lo][1] + trim0
+                wq1 = seg.blocks[hi][0] + keep1
+                wt1 = seg.blocks[hi][1] + keep1
+                mm_total = int(np.count_nonzero(
+                    read[wq0:wq1] != chrom[wt0:wt1]))
+                if mm_total <= 1:
+                    continue
         # long flanking blocks stay fixed; only their trailing/leading
         # max_gap bases enter the window (reference: IndelRefine.h:175-205)
         q0, t0, ln0 = seg.blocks[lo]
