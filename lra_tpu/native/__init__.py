@@ -99,6 +99,10 @@ def _load():
     lib.lrn_cigar_string.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.lrn_blocks_packed.restype = ctypes.c_int64
+    lib.lrn_blocks_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -124,6 +128,36 @@ def cigar_string(codes: np.ndarray, lens: np.ndarray,
     if ln < 0:
         return None
     return buf.raw[:ln].decode()
+
+
+def blocks_from_packed(packed: np.ndarray):
+    """Decode a [B, L4] bucket of 2-bit packed device-traceback planes
+    into B block lists in one C pass (identical output to
+    affine_kernel.blocks_from_ops_batch(unpack_ops(plane, False))).
+    Returns a list of B lists of [q_off, t_off, len], or None if the
+    native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    B, L4 = packed.shape
+    # a row of L = 4*L4 ops has at most ceil(L/2)+1 DIAG runs
+    cap = B * (2 * L4 + 1)
+    out = np.empty(cap * 3, np.int32)
+    counts = np.empty(B, np.int32)
+    total = lib.lrn_blocks_packed(
+        packed.ctypes.data_as(ctypes.c_void_p), B, L4,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        counts.ctypes.data_as(ctypes.c_void_p))
+    if total < 0:
+        return None
+    tr = out[:total * 3].reshape(-1, 3).tolist()
+    res = []
+    off = 0
+    for c in counts.tolist():
+        res.append(tr[off:off + c])
+        off += c
+    return res
 
 
 def banded_align(q: np.ndarray, t: np.ndarray, K: int, kband: int,

@@ -684,4 +684,61 @@ int64_t lrn_cigar_string(const uint8_t* codes, const int64_t* lens,
   return (int64_t)(p - out);
 }
 
+// Decode a bucket of 2-bit-packed device-traceback op planes straight
+// into match-block triples (the host inverse of
+// affine_kernel.banded_global_traced_packed, replacing the numpy
+// unpack_ops + blocks_from_ops_batch pair on the hot path).  Plane rows
+// are END-of-alignment-first (LEFT=1 DOWN=2 DIAG=3, terminator 0); the
+// output blocks are in ascending alignment order.
+//   packed:  [B, L4] uint8, 4 ops/byte (op l = byte l/4 bits (l%4)*2)
+//   out:     cap*3 int32 (q_off, t_off, len) triples, rows concatenated
+//   counts:  B int32, blocks per row
+// Returns total triples written, or -1 if cap exceeded.
+extern "C" int64_t lrn_blocks_packed(const uint8_t* packed, int64_t B,
+                                     int64_t L4, int32_t* out, int64_t cap,
+                                     int32_t* counts) {
+  int64_t total = 0;
+  const int64_t L = L4 * 4;
+  for (int64_t b = 0; b < B; b++) {
+    const uint8_t* row = packed + b * L4;
+    // find op count n: first terminator (op == 0), scanning forward.
+    int64_t n = L;
+    for (int64_t byte = 0; byte < L4; byte++) {
+      uint8_t v = row[byte];
+      if ((v & 3) == 0) { n = byte * 4; break; }
+      if (((v >> 2) & 3) == 0) { n = byte * 4 + 1; break; }
+      if (((v >> 4) & 3) == 0) { n = byte * 4 + 2; break; }
+      if (((v >> 6) & 3) == 0) { n = byte * 4 + 3; break; }
+    }
+    // walk backwards (= alignment order), emitting DIAG runs
+    int64_t q = 0, t = 0;
+    int64_t run = 0, rq = 0, rt = 0;
+    int64_t nb = 0;
+    for (int64_t l = n - 1; l >= 0; l--) {
+      int op = (row[l >> 2] >> ((l & 3) * 2)) & 3;
+      if (op == 3) {                       // DIAG
+        if (!run) { rq = q; rt = t; }
+        run++; q++; t++;
+      } else {
+        if (run) {
+          if (total + nb >= cap) return -1;
+          int32_t* o = out + (total + nb) * 3;
+          o[0] = (int32_t)rq; o[1] = (int32_t)rt; o[2] = (int32_t)run;
+          nb++; run = 0;
+        }
+        if (op == 1) q++; else t++;        // LEFT consumes q, DOWN t
+      }
+    }
+    if (run) {
+      if (total + nb >= cap) return -1;
+      int32_t* o = out + (total + nb) * 3;
+      o[0] = (int32_t)rq; o[1] = (int32_t)rt; o[2] = (int32_t)run;
+      nb++;
+    }
+    counts[b] = (int32_t)nb;
+    total += nb;
+  }
+  return total;
+}
+
 }  // extern "C"

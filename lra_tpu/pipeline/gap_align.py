@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .. import native
 from ..align.affine import affine_one_gap_align
 from ..ops.affine_small import SMALL_MAX, solve_small_jobs
 from ..ops.affine_kernel import (banded_global_np,
@@ -67,6 +68,20 @@ def trivial_diag_gap(q: np.ndarray, t: np.ndarray) -> bool:
     diag_gap_guard); the result is the single block [(0, 0, len)]."""
     return len(q) == len(t) and \
         int(np.count_nonzero(q != t)) <= 1
+
+
+def _pack_rows(arrs: list, lens: np.ndarray, B: int, S: int) -> np.ndarray:
+    """Scatter variable-length code arrays into a 4-padded [B, S] int8
+    matrix without a per-row python loop."""
+    flat = np.full(B * S, 4, np.int8)
+    if arrs:
+        lens64 = lens.astype(np.int64)
+        cat = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+        starts = np.cumsum(lens64) - lens64
+        dst = (np.repeat(np.arange(len(arrs), dtype=np.int64) * S - starts,
+                         lens64) + np.arange(cat.size, dtype=np.int64))
+        flat[dst] = cat
+    return flat.reshape(B, S)
 
 
 @dataclass
@@ -129,34 +144,82 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     S_idx = np.searchsorted(np.asarray(_SIZE_BUCKETS), mx)
     empty = (ql_v == 0) | (tl_v == 0)
     trivial_cand = diag_ok & (ql_v == tl_v) & ~empty
-    for i, job in enumerate(jobs):
-        if empty[i]:
-            job.blocks = []
-            continue
-        if trivial_cand[i] and not job.checked and \
-                trivial_diag_gap(job.q, job.t):
-            job.blocks = [(0, 0, int(ql_v[i]))]
-            continue
-        if in_regime[i]:
-            kb = int(kb_v[i])
-            if not use_device and mx[i] <= SMALL_MAX and not job.refine:
-                # host path only: tiny jobs via the batched numpy DP
-                # (ops/affine_small.py; identical scores/tie-order).  On
-                # device they ride the S=16/32 buckets instead — their
-                # op planes merge into the same single download, and the
-                # 16-step kernel scan beats this host's DP throughput.
-                small_jobs.append((job, kb))
+    # resolve trivial diagonals with ONE concatenated mismatch count
+    # instead of a per-job trivial_diag_gap call (python-loop overhead
+    # dominated the classification pass on 20k-job ONT batches)
+    if trivial_cand.any():
+        checked_v = np.fromiter((j.checked for j in jobs), bool, nj)
+        cand = np.nonzero(trivial_cand & ~checked_v)[0]
+        if len(cand):
+            lens = ql_v[cand]
+            qcat = np.concatenate([jobs[i].q for i in cand])
+            tcat = np.concatenate([jobs[i].t for i in cand])
+            starts = np.cumsum(lens) - lens
+            # cast before reduceat: np.add.reduceat on bool saturates at 1
+            nmm = np.add.reduceat((qcat != tcat).astype(np.int32), starts)
+            triv = cand[nmm <= 1]
+            for i, ln in zip(triv.tolist(), ql_v[triv].tolist()):
+                jobs[i].blocks = [(0, 0, ln)]
+            resolved = np.zeros(nj, bool)
+            resolved[triv] = True
+        else:
+            resolved = np.zeros(nj, bool)
+    else:
+        resolved = np.zeros(nj, bool)
+    for i in np.nonzero(empty)[0].tolist():
+        jobs[i].blocks = []
+    resolved |= empty
+
+    # device-regime jobs: group indices per (K class, S class, refine)
+    # bucket with one lexsort instead of 20k dict-append iterations
+    refine_v = np.fromiter((j.refine for j in jobs), bool, nj)
+    dev_mask = ~resolved & in_regime
+    if not use_device:
+        small_mask = dev_mask & (mx <= SMALL_MAX) & ~refine_v
+        # host path only: tiny jobs via the batched numpy DP
+        # (ops/affine_small.py; identical scores/tie-order).  On
+        # device they ride the S=16/32 buckets instead — their
+        # op planes merge into the same single download, and the
+        # 16-step kernel scan beats this host's DP throughput.
+        small_jobs = [(jobs[i], int(kb_v[i]))
+                      for i in np.nonzero(small_mask)[0]]
+        dev_mask &= ~small_mask
+    dev_idx = np.nonzero(dev_mask)[0]
+    if len(dev_idx):
+        # K class: narrow (gap closing) vs one wide tier (indel
+        # refine).  The packed download size is independent of the
+        # band, so a single wide class costs only cheap VPU compute
+        # and halves the bucket count (each bucket is a ~30-50ms
+        # device round trip)
+        S_v = np.where(
+            S_idx[dev_idx] < len(_SIZE_BUCKETS),
+            np.asarray(_SIZE_BUCKETS + (0,))[
+                np.minimum(S_idx[dev_idx], len(_SIZE_BUCKETS) - 1)],
+            0)
+        big = S_v == 0
+        if big.any():
+            S_v = S_v.copy()
+            S_v[big] = [_pow2_at_least(int(m_), 4096)
+                        for m_ in mx[dev_idx[big]]]
+        order = np.lexsort((S_v, Kc_v[dev_idx],
+                            refine_v[dev_idx].astype(np.int8)))
+        dev_sorted = dev_idx[order]
+        S_sorted = S_v[order]
+        keys = np.stack([Kc_v[dev_sorted], S_sorted,
+                         refine_v[dev_sorted].astype(np.int64)], axis=1)
+        cuts = np.nonzero(np.any(keys[1:] != keys[:-1], axis=1))[0] + 1
+        bounds = [0] + cuts.tolist() + [len(dev_sorted)]
+        for gi in range(len(bounds) - 1):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            if lo == hi:
                 continue
-            # K class: narrow (gap closing) vs one wide tier (indel
-            # refine).  The packed download size is independent of the
-            # band, so a single wide class costs only cheap VPU compute
-            # and halves the bucket count (each bucket is a ~30-50ms
-            # device round trip)
-            S = (_SIZE_BUCKETS[S_idx[i]] if S_idx[i] < len(_SIZE_BUCKETS)
-                 else _pow2_at_least(int(mx[i]), 4096))
-            device_jobs.setdefault((int(Kc_v[i]), S, job.refine),
-                                   []).append((job, kb))
-            continue
+            grp = dev_sorted[lo:hi]
+            key = (int(keys[lo, 0]), int(keys[lo, 1]), bool(keys[lo, 2]))
+            device_jobs[key] = [(jobs[i], int(kb_v[i]))
+                                for i in grp.tolist()]
+    # rare out-of-regime jobs: host fallbacks
+    for i in np.nonzero(~resolved & ~in_regime)[0].tolist():
+        job = jobs[i]
         if job.refine:
             # out-of-regime refine region (giant drift): host refine DP
             K1 = int(band_in_v[i])
@@ -194,17 +257,17 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             B = batch_multiple(B)
         else:
             B = len(items)
-        q = np.full((B, S), 4, np.int8)
-        t = np.full((B, S), 4, np.int8)
+        # vectorized bucket packing: per-row slice assignment was
+        # ~0.2s/ONT-batch of pure python loop over ~20k jobs
+        nb = len(items)
         qlen = np.zeros(B, np.int32)
         tlen = np.zeros(B, np.int32)
         kband = np.zeros(B, np.int32)
-        for b, (job, kb) in enumerate(items):
-            q[b, :len(job.q)] = job.q
-            t[b, :len(job.t)] = job.t
-            qlen[b] = len(job.q)
-            tlen[b] = len(job.t)
-            kband[b] = kb
+        qlen[:nb] = [len(job.q) for job, _ in items]
+        tlen[:nb] = [len(job.t) for job, _ in items]
+        kband[:nb] = [kb for _, kb in items]
+        q = _pack_rows([job.q for job, _ in items], qlen[:nb], B, S)
+        t = _pack_rows([job.t for job, _ in items], tlen[:nb], B, S)
         if use_device and refine:
             # refine DP + lane-aware device traceback; same packed op
             # format, so the merged download and unpack path are shared
@@ -278,8 +341,10 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             off += size
             # padded rows beyond the real jobs carry no alignment — skip
             # their unpack/cumsum cost (B is pow2-padded, up to 2x waste)
-            blocks = blocks_from_ops_batch(
-                unpack_ops(plane[:len(items)], mark_term=False))
+            blocks = native.blocks_from_packed(plane[:len(items)])
+            if blocks is None:
+                blocks = blocks_from_ops_batch(
+                    unpack_ops(plane[:len(items)], mark_term=False))
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
         elif K == "refine_np":
