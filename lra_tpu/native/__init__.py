@@ -141,16 +141,24 @@ def blocks_from_packed(packed: np.ndarray):
         return None
     packed = np.ascontiguousarray(packed, np.uint8)
     B, L4 = packed.shape
-    # a row of L = 4*L4 ops has at most ceil(L/2)+1 DIAG runs
-    cap = B * (2 * L4 + 1)
-    out = np.empty(cap * 3, np.int32)
+    # worst case a row of L = 4*L4 ops has ceil(L/2)+1 DIAG runs, but
+    # real planes average ~10-60 blocks/row; allocating the worst case
+    # (tens of MB per bucket) dominated the call, so start small and
+    # retry on overflow
     counts = np.empty(B, np.int32)
-    total = lib.lrn_blocks_packed(
-        packed.ctypes.data_as(ctypes.c_void_p), B, L4,
-        out.ctypes.data_as(ctypes.c_void_p), cap,
-        counts.ctypes.data_as(ctypes.c_void_p))
-    if total < 0:
-        return None
+    hard_cap = B * (2 * L4 + 1)
+    cap = min(96, 2 * L4 + 1) * B + 1024
+    total = -1
+    while total < 0:
+        out = np.empty(cap * 3, np.int32)
+        total = lib.lrn_blocks_packed(
+            packed.ctypes.data_as(ctypes.c_void_p), B, L4,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            counts.ctypes.data_as(ctypes.c_void_p))
+        if total < 0:
+            if cap >= hard_cap:
+                return None
+            cap = min(cap * 8, hard_cap)
     tr = out[:total * 3].reshape(-1, 3).tolist()
     res = []
     off = 0

@@ -139,7 +139,14 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     k_v = np.minimum(np.maximum(1, mn), band_in_v)
     kb_v = 2 * k_v
     in_regime = (np.maximum(1, mn) + kb_v >= mx) & (kb_v <= 512)
-    Kc_v = np.where(kb_v <= 2 * opts.local_band, 2 * opts.local_band, 512)
+    # K tiers: the narrow gap-closing class (2*local_band) plus powers
+    # of two — a refine job with moderate path drift (kb ~ 40-60)
+    # otherwise lands in the 512-wide tier and pays ~10x its needed
+    # VPU cells (the packed download is band-independent, so extra
+    # tiers only cost one ~1.5ms dispatch each)
+    k_tiers = np.asarray(sorted({2 * opts.local_band, 64, 128, 256, 512}),
+                         np.int64)
+    Kc_v = k_tiers[np.searchsorted(k_tiers, kb_v.clip(max=512))]
     # size class: index into _SIZE_BUCKETS, oversized jobs resolved below
     S_idx = np.searchsorted(np.asarray(_SIZE_BUCKETS), mx)
     empty = (ql_v == 0) | (tl_v == 0)
