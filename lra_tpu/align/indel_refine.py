@@ -123,6 +123,32 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
     # (e.g. a 3X from linear extension) that the DP can beat the same
     # way it beats junction ones.
     diag_ok = diag_gap_guard(opts)
+    # native fast path: plan + trivial-region classification in one C
+    # pass (the python while-loops below were ~0.15s/ONT batch)
+    from .. import native
+
+    nb = len(seg.blocks)
+    if nb == 0:
+        seg.refine_plan = []
+        return jobs
+    res = native.plan_indel_regions(
+        np.asarray(seg.blocks, np.int64).reshape(nb, 3), read, chrom,
+        max_gap, 1024 - 2 * max_gap, diag_ok, opts.refine_band)
+    if res is not None:
+        seg.refine_plan = [tuple(r) for r in res[:, :4].tolist()]
+        for lo, hi, trim0, keep1, q0, t0, q1, t1, band, kind in \
+                res.tolist():
+            if kind == 0:
+                continue
+            key = key_prefix + (lo, hi, q0, t0, trim0, keep1)
+            if kind == 2:
+                job = GapJob(read[q0:q1], chrom[t0:t1], key)
+            else:
+                job = GapJob(read[q0 + 1:q1], chrom[t0 + 1:t1], key)
+                job.refine = True
+            job.band = band
+            jobs.append(job)
+        return jobs
     plan = plan_refine_regions(seg, opts)
     seg.refine_plan = plan
     for (lo, hi, trim0, keep1) in plan:

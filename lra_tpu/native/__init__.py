@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -103,6 +104,11 @@ def _load():
     lib.lrn_blocks_packed.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.lrn_plan_indel_regions.restype = ctypes.c_int64
+    lib.lrn_plan_indel_regions.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -130,6 +136,21 @@ def cigar_string(codes: np.ndarray, lens: np.ndarray,
     return buf.raw[:ln].decode()
 
 
+_SCRATCH = threading.local()
+
+
+def _scratch_i32(n: int) -> np.ndarray:
+    """Reusable per-thread int32 scratch (decode output buffers are
+    written then immediately consumed, so one growing buffer avoids
+    re-allocating tens of MB per bucket; thread-local because
+    pipeline.stream workers decode concurrently)."""
+    buf = getattr(_SCRATCH, "i32", None)
+    if buf is None or buf.size < n:
+        buf = np.empty(n, np.int32)
+        _SCRATCH.i32 = buf
+    return buf
+
+
 def blocks_from_packed(packed: np.ndarray):
     """Decode a [B, L4] bucket of 2-bit packed device-traceback planes
     into B block lists in one C pass (identical output to
@@ -150,7 +171,7 @@ def blocks_from_packed(packed: np.ndarray):
     cap = min(96, 2 * L4 + 1) * B + 1024
     total = -1
     while total < 0:
-        out = np.empty(cap * 3, np.int32)
+        out = _scratch_i32(cap * 3)
         total = lib.lrn_blocks_packed(
             packed.ctypes.data_as(ctypes.c_void_p), B, L4,
             out.ctypes.data_as(ctypes.c_void_p), cap,
@@ -166,6 +187,35 @@ def blocks_from_packed(packed: np.ndarray):
         res.append(tr[off:off + c])
         off += c
     return res
+
+
+def plan_indel_regions(blocks: np.ndarray, read: np.ndarray,
+                       chrom: np.ndarray, max_gap: int, span_cap: int,
+                       diag_ok: bool, refine_band: int):
+    """Native indel-refine region planner + trivial-region classifier
+    (mirror of align/indel_refine.plan_refine_regions + the fast-path
+    logic of queue_indel_refine_jobs).  blocks: [n,3] int64 ascending.
+    Returns int64 [nreg, 10] rows (lo, hi, trim0, keep1, q0, t0, q1, t1,
+    band, kind) — kind 0 = identity skip, 1 = refine job, 2 = tiny
+    linear job — or None if the native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    blocks = np.ascontiguousarray(blocks, np.int64)
+    read = np.ascontiguousarray(read, np.uint8)
+    chrom = np.ascontiguousarray(chrom, np.uint8)
+    n = len(blocks)
+    cap = n + 1
+    out = np.empty((cap, 10), np.int64)
+    nreg = lib.lrn_plan_indel_regions(
+        blocks.ctypes.data_as(ctypes.c_void_p), n,
+        read.ctypes.data_as(ctypes.c_void_p),
+        chrom.ctypes.data_as(ctypes.c_void_p),
+        max_gap, span_cap, 1 if diag_ok else 0, refine_band,
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if nreg < 0:
+        return None
+    return out[:nreg]
 
 
 def banded_align(q: np.ndarray, t: np.ndarray, K: int, kband: int,

@@ -741,4 +741,91 @@ extern "C" int64_t lrn_blocks_packed(const uint8_t* packed, int64_t B,
   return total;
 }
 
+// Plan indel-refine regions over a segment's block list and classify
+// each region in one pass (native mirror of
+// align/indel_refine.plan_refine_regions + the trivial-region logic of
+// queue_indel_refine_jobs; reference semantics IndelRefine.h:133-230).
+//   blocks:  n x 3 int64 (q, t, len), ascending
+//   read / chrom: uint8 code arrays (windows indexed absolutely)
+//   out: cap rows x 10 int64:
+//     lo, hi, trim0, keep1, q0, t0, q1, t1, band, kind
+//     kind: 0 = no job (identity fast path / degenerate window),
+//           1 = refine-DP job, 2 = tiny-window linear job
+// Returns region count, or -1 if cap exceeded.
+extern "C" int64_t lrn_plan_indel_regions(
+    const int64_t* blocks, int64_t n, const uint8_t* read,
+    const uint8_t* chrom, int64_t max_gap, int64_t span_cap,
+    int diag_ok, int64_t refine_band, int64_t* out, int64_t cap) {
+  const int64_t* Q = blocks;        // stride 3
+  int64_t nreg = 0;
+  int64_t i = 0, consumed = 0;
+  while (i < n) {
+    int64_t j = i;
+    int64_t eff0 = Q[i * 3 + 2] - consumed;
+    int64_t ws = Q[i * 3] + consumed + (eff0 > max_gap ? eff0 - max_gap : 0);
+    while (j < n - 1) {
+      int64_t q = Q[j * 3], t = Q[j * 3 + 1], ln = Q[j * 3 + 2];
+      int64_t qn = Q[(j + 1) * 3], tn = Q[(j + 1) * 3 + 1];
+      int64_t ln_n = Q[(j + 1) * 3 + 2];
+      int64_t qgap = qn - (q + ln), tgap = tn - (t + ln);
+      int64_t span = qn + (ln_n < max_gap ? ln_n : max_gap) - ws;
+      if (qgap < max_gap && tgap < max_gap &&
+          (j == i || Q[j * 3 + 2] < 100) && span <= span_cap)
+        j++;
+      else
+        break;
+    }
+    if (j > i) {
+      int64_t eff_len = Q[i * 3 + 2] - consumed;
+      int64_t trim0 = consumed + (eff_len > max_gap ? eff_len - max_gap : 0);
+      int64_t keep1 = Q[j * 3 + 2] < max_gap ? Q[j * 3 + 2] : max_gap;
+      // classify
+      int64_t q0 = Q[i * 3] + trim0, t0 = Q[i * 3 + 1] + trim0;
+      int64_t q1 = Q[j * 3] + keep1, t1 = Q[j * 3 + 1] + keep1;
+      int64_t band = 0, kind = 1;
+      if (diag_ok) {
+        int diagonal = 1;
+        for (int64_t b = i; b < j; b++) {
+          int64_t qg = Q[(b + 1) * 3] - (Q[b * 3] + Q[b * 3 + 2]);
+          int64_t tg = Q[(b + 1) * 3 + 1] - (Q[b * 3 + 1] + Q[b * 3 + 2]);
+          if (qg != tg) { diagonal = 0; break; }
+        }
+        if (diagonal) {
+          int64_t mm = 0;
+          for (int64_t p = 0; p < q1 - q0 && mm <= 1; p++)
+            mm += read[q0 + p] != chrom[t0 + p];
+          if (mm <= 1) kind = 0;
+        }
+      }
+      if (kind && (q1 <= q0 || t1 <= t0)) kind = 0;
+      if (kind) {
+        if (q1 - q0 < refine_band || t1 - t0 < refine_band) {
+          kind = 2;
+          band = refine_band;
+        } else {
+          int64_t maxoff = 0;
+          for (int64_t b = i; b <= j; b++) {
+            int64_t off = (Q[b * 3] - q0) - (Q[b * 3 + 1] - t0);
+            if (off < 0) off = -off;
+            if (off > maxoff) maxoff = off;
+          }
+          band = refine_band + maxoff;
+        }
+      }
+      if (nreg >= cap) return -1;
+      int64_t* o = out + nreg * 10;
+      o[0] = i; o[1] = j; o[2] = trim0; o[3] = keep1;
+      o[4] = q0; o[5] = t0; o[6] = q1; o[7] = t1;
+      o[8] = band; o[9] = kind;
+      nreg++;
+      if (Q[j * 3 + 2] > max_gap) { i = j; consumed = max_gap; }
+      else { i = j + 1; consumed = 0; }
+    } else {
+      i++;
+      consumed = 0;
+    }
+  }
+  return nreg;
+}
+
 }  // extern "C"

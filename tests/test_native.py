@@ -274,3 +274,51 @@ def test_native_banded_align_matches_numpy(rng):
         rb, _ = traceback_banded(arrows[0], qLen, tLen, K)
         assert nb == rb, (trial, nb[:5], rb[:5])
         assert nscore == int(score[0]), (trial, nscore, score[0])
+
+
+def test_plan_indel_regions_matches_python():
+    """Native region planner == python plan + classification, including
+    the trivial-identity fast path and tiny-window fallback."""
+    import lra_tpu.native as nat
+    from lra_tpu import preset
+    from lra_tpu.align import indel_refine as ir
+
+    if not nat.available():
+        return
+
+    class Seg:
+        pass
+
+    rng = np.random.default_rng(11)
+    opts = preset("ont")
+    for trial in range(60):
+        n = int(rng.integers(1, 50))
+        blocks = []
+        q = t = int(rng.integers(0, 5))
+        for _ in range(n):
+            ln = int(rng.integers(1, 120))
+            blocks.append((q, t, ln))
+            q += ln + int(rng.integers(0, 12))
+            t += ln + int(rng.integers(0, 12))
+        read = rng.integers(0, 4, q + 50).astype(np.uint8)
+        chrom = rng.integers(0, 4, t + 50).astype(np.uint8)
+        real = nat.plan_indel_regions
+        try:
+            nat.plan_indel_regions = lambda *a, **k: None
+            s_py = Seg()
+            s_py.blocks = list(blocks)
+            j_py = ir.queue_indel_refine_jobs(s_py, read, chrom, opts,
+                                              ("k",))
+        finally:
+            nat.plan_indel_regions = real
+        s_nat = Seg()
+        s_nat.blocks = list(blocks)
+        j_nat = ir.queue_indel_refine_jobs(s_nat, read, chrom, opts,
+                                           ("k",))
+        assert [tuple(p) for p in s_py.refine_plan] == \
+            [tuple(p) for p in s_nat.refine_plan]
+        assert len(j_py) == len(j_nat)
+        for a, b in zip(j_py, j_nat):
+            assert a.key == b.key and a.band == b.band \
+                and a.refine == b.refine
+            assert np.array_equal(a.q, b.q) and np.array_equal(a.t, b.t)
