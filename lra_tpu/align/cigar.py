@@ -82,6 +82,12 @@ def blocks_to_op_arrays(blocks, read: np.ndarray, chrom: np.ndarray,
     nb = len(blocks)
     if nb == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    from .. import native
+
+    nat = native.op_arrays(np.asarray(blocks, np.int64).reshape(nb, 3),
+                           read, chrom, show_mismatch)
+    if nat is not None:
+        return nat
     q = np.fromiter((b[0] for b in blocks), np.int64, nb)
     t = np.fromiter((b[1] for b in blocks), np.int64, nb)
     ln = np.fromiter((b[2] for b in blocks), np.int64, nb)

@@ -104,6 +104,10 @@ def _load():
     lib.lrn_blocks_packed.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.lrn_op_arrays.restype = ctypes.c_int64
+    lib.lrn_op_arrays.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.lrn_plan_indel_regions.restype = ctypes.c_int64
     lib.lrn_plan_indel_regions.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -187,6 +191,37 @@ def blocks_from_packed(packed: np.ndarray):
         res.append(tr[off:off + c])
         off += c
     return res
+
+
+def op_arrays(blocks: np.ndarray, read: np.ndarray, chrom: np.ndarray,
+              show_mismatch: bool):
+    """Native mirror of align/cigar.blocks_to_op_arrays.  blocks: [n,3]
+    int64 ascending.  Returns (codes uint8, lens int64) or None."""
+    lib = _load()
+    if not lib:
+        return None
+    blocks = np.ascontiguousarray(blocks, np.int64)
+    read = np.ascontiguousarray(read, np.uint8)
+    chrom = np.ascontiguousarray(chrom, np.uint8)
+    nb = len(blocks)
+    if nb == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    # every run is >= 1 base of q or t extent, plus 2 gap runs per join
+    qext = int(blocks[-1, 0] + blocks[-1, 2] - blocks[0, 0])
+    text = int(blocks[-1, 1] + blocks[-1, 2] - blocks[0, 1])
+    cap = qext + text + 2 * nb + 4
+    codes = np.empty(cap, np.uint8)
+    lens = np.empty(cap, np.int64)
+    n = lib.lrn_op_arrays(
+        blocks.ctypes.data_as(ctypes.c_void_p), nb,
+        read.ctypes.data_as(ctypes.c_void_p),
+        chrom.ctypes.data_as(ctypes.c_void_p),
+        1 if show_mismatch else 0,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return codes[:n].copy(), lens[:n].copy()
 
 
 def plan_indel_regions(blocks: np.ndarray, read: np.ndarray,

@@ -741,6 +741,55 @@ extern "C" int64_t lrn_blocks_packed(const uint8_t* packed, int64_t B,
   return total;
 }
 
+// Build merged CIGAR op-run arrays from a block list in one pass
+// (native mirror of align/cigar.blocks_to_op_arrays: per inter-block
+// gap emit I then D then the re-aligned commonGap span, reference
+// Alignment.h:292-330).  codes: 0 match, 1 X, 2 I, 3 D.
+// Returns run count or -1 if cap exceeded.
+extern "C" int64_t lrn_op_arrays(const int64_t* blocks, int64_t nb,
+                                 const uint8_t* read, const uint8_t* chrom,
+                                 int show_mismatch, uint8_t* codes_out,
+                                 int64_t* lens_out, int64_t cap) {
+  int64_t n = 0;
+  bool overflow = false;
+  auto push = [&](uint8_t c, int64_t l) {
+    if (l <= 0) return;
+    if (n && codes_out[n - 1] == c) { lens_out[n - 1] += l; return; }
+    if (n >= cap) { overflow = true; return; }
+    codes_out[n] = c;
+    lens_out[n] = l;
+    n++;
+  };
+  auto span = [&](int64_t q, int64_t t, int64_t l) {
+    if (l <= 0) return;
+    if (!show_mismatch) { push(0, l); return; }
+    int64_t run = 0;
+    uint8_t cur = 0;
+    for (int64_t p = 0; p < l; p++) {
+      uint8_t c = read[q + p] == chrom[t + p] ? 0 : 1;
+      if (run && c == cur) { run++; continue; }
+      push(cur, run);
+      cur = c;
+      run = 1;
+    }
+    push(cur, run);
+  };
+  for (int64_t j = 0; j < nb && !overflow; j++) {
+    int64_t q = blocks[j * 3], t = blocks[j * 3 + 1], l = blocks[j * 3 + 2];
+    span(q, t, l);
+    if (j + 1 < nb) {
+      int64_t qgap = blocks[(j + 1) * 3] - (q + l);
+      int64_t tgap = blocks[(j + 1) * 3 + 1] - (t + l);
+      int64_t common = qgap < tgap ? qgap : tgap;
+      push(2, qgap - common);                    // I
+      push(3, tgap - common);                    // D
+      if (common > 0)
+        span(q + l + (qgap - common), t + l + (tgap - common), common);
+    }
+  }
+  return overflow ? -1 : n;
+}
+
 // Plan indel-refine regions over a segment's block list and classify
 // each region in one pass (native mirror of
 // align/indel_refine.plan_refine_regions + the trivial-region logic of

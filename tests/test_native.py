@@ -322,3 +322,35 @@ def test_plan_indel_regions_matches_python():
             assert a.key == b.key and a.band == b.band \
                 and a.refine == b.refine
             assert np.array_equal(a.q, b.q) and np.array_equal(a.t, b.t)
+
+
+def test_op_arrays_matches_python():
+    """Native op-run builder == python blocks_to_op_arrays."""
+    import lra_tpu.native as nat
+    from lra_tpu.align.cigar import blocks_to_op_arrays
+
+    if not nat.available():
+        return
+    rng = np.random.default_rng(13)
+    for trial in range(60):
+        n = int(rng.integers(1, 40))
+        blocks = []
+        q = t = int(rng.integers(0, 4))
+        for _ in range(n):
+            ln = int(rng.integers(1, 50))
+            blocks.append((q, t, ln))
+            q += ln + int(rng.integers(0, 15))
+            t += ln + int(rng.integers(0, 15))
+        read = rng.integers(0, 4, q + 60).astype(np.uint8)
+        chrom = rng.integers(0, 4, t + 60).astype(np.uint8)
+        for sm in (True, False):
+            got = nat.op_arrays(np.asarray(blocks, np.int64), read,
+                                chrom, sm)
+            real = nat.op_arrays
+            try:
+                nat.op_arrays = lambda *a, **k: None
+                want = blocks_to_op_arrays(blocks, read, chrom, sm)
+            finally:
+                nat.op_arrays = real
+            assert np.array_equal(got[0], want[0])
+            assert np.array_equal(got[1], want[1])
