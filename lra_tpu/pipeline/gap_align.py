@@ -224,8 +224,24 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             key = (int(keys[lo, 0]), int(keys[lo, 1]), bool(keys[lo, 2]))
             device_jobs[key] = [(jobs[i], int(kb_v[i]))
                                 for i in grp.tolist()]
+    # out-of-regime non-refine jobs = the one-long-gap regime
+    # (min + 2k < max): batched device kernel (ops/one_gap.py), bucketed
+    # by (K, D=diag class) — shapes are gap-length independent because
+    # only the head/tail windows of the long side feed the bands
+    og_buckets: dict = {}
+    og_mask = np.zeros(nj, bool)
+    if use_device:
+        og_idx = np.nonzero(~resolved & ~in_regime & ~refine_v
+                            & (mn <= 8192) & (kb_v <= 1022))[0]
+        for i in og_idx.tolist():
+            Kc = max(16, _pow2_at_least(int(k_v[i]) + 1, 16))
+            Dc = _pow2_at_least(int(mn[i]) + 1, 16)
+            og_buckets.setdefault((Kc, Dc), []).append((jobs[i],
+                                                        int(k_v[i])))
+            og_mask[i] = True
+
     # rare out-of-regime jobs: host fallbacks
-    for i in np.nonzero(~resolved & ~in_regime)[0].tolist():
+    for i in np.nonzero(~resolved & ~in_regime & ~og_mask)[0].tolist():
         job = jobs[i]
         if job.refine:
             # out-of-regime refine region (giant drift): host refine DP
@@ -316,10 +332,41 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     # merge every packed plane into ONE flat device buffer so the round
     # costs a single d2h transfer (~28ms latency floor each on the
     # tunnel), then start the copy before blocking
+    for (Kc, Dc), items in og_buckets.items():
+        from ..ops.one_gap import one_gap_traced, pack_one_gap_bucket
+
+        B = 8
+        while B < len(items):
+            B *= 2
+        B = batch_multiple(B)
+        qs = [job.q for job, _ in items]
+        ts = [job.t for job, _ in items]
+        kbs = [kb for _, kb in items]
+        # pad rows must satisfy the one-gap regime (min + 2k < max)
+        pad_q = np.zeros(1, np.int8)
+        pad_t = np.zeros(4, np.int8)
+        while len(qs) < B:
+            qs.append(pad_q)
+            ts.append(pad_t)
+            kbs.append(1)
+        qh, th, qt_, tt_, qlen, tlen = pack_one_gap_bucket(qs, ts, Kc, Dc)
+        L = 2 * (Dc + Kc) + 8
+        ops, jump, _sc = one_gap_traced(
+            place(qh), place(th), place(qt_), place(tt_), place(qlen),
+            place(tlen), place(np.asarray(kbs, np.int32)), Kc, Dc,
+            opts.local_match, opts.local_mismatch, opts.local_indel, L)
+        ops_u8 = ops.astype(jnp.uint8)
+        jump_u8 = jnp.concatenate(
+            [((jump >> s) & 0xFF).astype(jnp.uint8) for s in (0, 8, 16, 24)])
+        pending.append(("onegap", items, None, None,
+                        (ops_u8, jump_u8, B, L)))
+
     flat_parts = [buf.reshape(-1) for K, _, _, _, buf in pending
                   if K is None]
     flat_parts += [buf[0].reshape(-1) for K, _, _, _, buf in pending
                    if K == "rowsync"]
+    flat_parts += [p for K, _, _, _, buf in pending if K == "onegap"
+                   for p in (buf[0].reshape(-1), buf[1])]
     merged = None
     t_pack = t_compute = t_copy = 0.0
     nbytes = 0
@@ -340,7 +387,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     t_post0 = devstats.now() if devstats.ENABLED else 0.0
     off = 0
     for K, items, qlen, tlen, buf in pending:
-        if K == "rowsync":
+        if K in ("rowsync", "onegap"):
             continue
         if K is None:
             size = buf.size
@@ -372,6 +419,18 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             blocks = blocks_from_rowsync(plane, qlen, tlen, S)
             for b, (job, kb) in enumerate(items):
                 job.blocks = blocks[b]
+    for K, items, qlen, tlen, buf in pending:
+        if K == "onegap":
+            from ..ops.one_gap import blocks_from_one_gap_ops
+
+            _ops_u8, _jump_u8, B, L = buf
+            plane = merged[off:off + B * L].reshape(B, L).view(np.int8)
+            off += B * L
+            jb = merged[off:off + 4 * B].reshape(4, B).astype(np.int64)
+            off += 4 * B
+            jump = (jb[0] | (jb[1] << 8) | (jb[2] << 16) | (jb[3] << 24))
+            for b, (job, kb) in enumerate(items):
+                job.blocks = blocks_from_one_gap_ops(plane[b], int(jump[b]))
     if devstats.ENABLED:
         devstats.record(
             tag, buckets=len(pending),

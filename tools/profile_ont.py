@@ -38,6 +38,8 @@ def main():
     g = random_genome(rng, 2_000_000)
     genome = Genome.from_seqs([("chr1", g)])
     opts = preset(kind)
+    if "--pallas" in sys.argv:
+        opts.use_pallas = True
     idx = build_global_index(genome, opts)
     li = build_genome_local_index(genome, k=min(opts.local_k, 10),
                                   w=opts.local_w,
