@@ -166,11 +166,11 @@ def main():
     # round-2 BASELINE.md configurations
     ccs_dir, ccs_once = _setup_workload("ccs", 0, N_READS, 8000,
                                         1.0 / 600 * 3, 256)
-    # 3x128 batches + 3 workers: steady-state pipelining (2 batches
-    # leave the first/last with no overlap partner)
+    # 3x128 batches + 4 workers: steady-state pipelining (the r3 stream
+    # sweep measured 75.7/82.3/85.7 r/s at workers=2/3/4, sub=128)
     ont_n = 384
     ont_dir, ont_once = _setup_workload("ont", 1, ont_n, 12000, 0.05, 128,
-                                        workers=3)
+                                        workers=4)
 
     ref = build_reference()
     ccs_once()  # warm-up (compiles cached persistently)

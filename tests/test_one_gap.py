@@ -143,3 +143,39 @@ def test_solve_gap_jobs_routes_one_gap_to_device():
         bd = [tuple(b) for b in jd.blocks]
         bh = [tuple(b) for b in jh.blocks]
         assert bd == bh, (jd.key, len(jd.q), len(jd.t), bd[:3], bh[:3])
+
+
+def test_one_gap_wide_band_class():
+    """kband up to 50 (contig refine_band tiny-window jobs) rides the
+    K=64 class; blocks must stay bit-identical to the host."""
+    from lra_tpu.ops.one_gap import pack_one_gap_bucket
+
+    m, mm, indel = 4, -3, -4
+    rng = np.random.default_rng(47)
+    K = 64
+    cases = []
+    for _ in range(12):
+        k = int(rng.integers(16, 51))
+        small = int(rng.integers(20, 200))
+        big = small + int(rng.integers(2 * k + 2, 800))
+        base = rng.integers(0, 4, big + 8).astype(np.uint8)
+        sm = base[:small].copy()
+        mut = rng.random(small) < 0.08
+        sm[mut] = rng.integers(0, 4, int(mut.sum()))
+        bg = base[:big]
+        cases.append((sm, bg, k) if rng.random() < 0.5 else (bg, sm, k))
+    D = pow2_at_least(max(min(len(q), len(t)) for q, t, _ in cases) + 1,
+                      16)
+    kb = np.array([min(min(len(q), len(t)), k) for q, t, k in cases],
+                  np.int32)
+    qh, th, qt, tt, qlen, tlen = pack_one_gap_bucket(
+        [q for q, _, _ in cases], [t for _, t, _ in cases], K, D)
+    L = 2 * (D + K) + 8
+    ops, jump, score = one_gap_traced(qh, th, qt, tt, qlen, tlen, kb,
+                                      K, D, m, mm, indel, L)
+    ops, jump, score = map(np.asarray, (ops, jump, score))
+    for b, (q, t, k) in enumerate(cases):
+        ref = affine_one_gap_align(q, t, m, mm, indel, k)
+        blocks = blocks_from_one_gap_ops(ops[b], int(jump[b]))
+        assert blocks == ref.blocks, (b, len(q), len(t), k)
+        assert int(score[b]) == ref.score

@@ -68,7 +68,7 @@ def main():
         from lra_tpu.pipeline.stream import align_stream
         reads = reads * 3      # steady state: several sub-batches
         n = len(reads)
-        for workers, sub in ((2, 128), (3, 128), (4, 128)):
+        for workers, sub in ((4, 128), (3, 64), (4, 64), (5, 64), (4, 96)):
             batches = [reads[i:i + sub] for i in range(0, n, sub)]
             best = None
             for _ in range(2):
