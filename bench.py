@@ -166,8 +166,9 @@ def main():
     # round-2 BASELINE.md configurations
     ccs_dir, ccs_once = _setup_workload("ccs", 0, N_READS, 8000,
                                         1.0 / 600 * 3, 256)
-    # 3x128 batches + 4 workers: steady-state pipelining (the r3 stream
-    # sweep measured 75.7/82.3/85.7 r/s at workers=2/3/4, sub=128)
+    # 3x128 batches + 4 workers: steady-state pipelining (two r3 stream
+    # sweeps measured workers=2/3/4 at sub=128 as 75.7/82.3/85.7 and
+    # -/-/91.8 r/s; sub=64 and 96 configs were all slower)
     ont_n = 384
     ont_dir, ont_once = _setup_workload("ont", 1, ont_n, 12000, 0.05, 128,
                                         workers=4)

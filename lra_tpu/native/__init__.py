@@ -42,6 +42,17 @@ def _load():
     except OSError:
         _lib = False
         return _lib
+    try:
+        return _bind(lib)
+    except AttributeError:
+        # stale prebuilt .so missing newer symbols and no working
+        # compiler to rebuild: honor the pure-python fallback contract
+        _lib = False
+        return _lib
+
+
+def _bind(lib):
+    global _lib
     lib.lrn_load_seqs.restype = ctypes.c_int
     lib.lrn_load_seqs.argtypes = [
         ctypes.c_char_p,

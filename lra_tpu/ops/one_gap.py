@@ -246,7 +246,7 @@ def _suffix_pass(q_tail, t_tail, qlen, tlen, kband, K, D, m, mm, indel,
     eB_idx = K + kband + 3                # case B border-b' lane index
 
     def step(carry, s):
-        prev = carry
+        prev, acc = carry
         j = tLow + 1 + s                                  # [B]
         i_vals = j[:, None] + dqt[:, None] + eoffs[None, :]
         tcode = tsh[:, s][:, None]
@@ -315,13 +315,17 @@ def _suffix_pass(q_tail, t_tail, qlen, tlen, kband, K, D, m, mm, indel,
                         jnp.where(bAcell, GAPLEFT, GAPDOWN).astype(jnp.int8),
                         arr)
         arr = jnp.where(valid | (border & ~valid), arr, jnp.int8(-1))
-        return row, (row, arr)
+        # capture the final score in the carry instead of gathering from
+        # the stacked rows afterwards — lets XLA drop the f32 row stack
+        # entirely (only the int8 arrows are needed downstream)
+        acc2 = jnp.where(j == tlen, row[:, K + 2], acc)
+        return (row, acc2), (row, arr)
 
-    _, (rows, arrows) = jax.lax.scan(step, row0, jnp.arange(TSs))
+    acc0 = jnp.full((B,), NEGF)
+    (_, score), (rows, arrows) = jax.lax.scan(step, (row0, acc0),
+                                              jnp.arange(TSs))
     arrows = jnp.concatenate([arrows0[None], arrows], axis=0)
     rows = jnp.concatenate([row0[None], rows], axis=0)
-    # score at (qlen, tlen): step index tlen - tLow, lane K+2
-    score = rows[tlen - tLow, jnp.arange(B), K + 2]
     return arrows, score, rows
 
 

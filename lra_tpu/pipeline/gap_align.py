@@ -193,11 +193,10 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
         dev_mask &= ~small_mask
     dev_idx = np.nonzero(dev_mask)[0]
     if len(dev_idx):
-        # K class: narrow (gap closing) vs one wide tier (indel
-        # refine).  The packed download size is independent of the
-        # band, so a single wide class costs only cheap VPU compute
-        # and halves the bucket count (each bucket is a ~30-50ms
-        # device round trip)
+        # group rows by their (K tier, S class, refine) bucket key; the
+        # packed download size is independent of the band, so the K
+        # tiers trade a little bucket count for far fewer wasted VPU
+        # cells (see the k_tiers comment above)
         S_v = np.where(
             S_idx[dev_idx] < len(_SIZE_BUCKETS),
             np.asarray(_SIZE_BUCKETS + (0,))[
@@ -231,7 +230,11 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     og_buckets: dict = {}
     og_mask = np.zeros(nj, bool)
     if use_device:
-        og_idx = np.nonzero(~resolved & ~in_regime & ~refine_v
+        # admit ONLY the true one-gap regime (min + 2k < max) — a job
+        # that is out of in_regime merely because kb_v > 512 needs the
+        # doubled-band host aligner, not the separated-bands kernel
+        og_idx = np.nonzero(~resolved & ~refine_v
+                            & (np.maximum(1, mn) + kb_v < mx)
                             & (mn <= 8192) & (kb_v <= 1022))[0]
         for i in og_idx.tolist():
             Kc = max(16, _pow2_at_least(int(k_v[i]) + 1, 16))
