@@ -411,7 +411,16 @@ int64_t lrn_linear_extend(const uint8_t* read, int64_t /*qlen*/,
                           int64_t t_hi) -> int64_t {
     int64_t m = std::min(q_hi - q0, t_hi - t0);
     if (m <= 0) return 0;
-    for (int64_t s = 0; s < m; s++)
+    int64_t s = 0;
+    // 8 bytes per step: XOR of unaligned loads is 0 iff all equal
+    for (; s + 8 <= m; s += 8) {
+      uint64_t a, b;
+      std::memcpy(&a, read + q0 + s, 8);
+      std::memcpy(&b, chrom + t0 + s, 8);
+      uint64_t x = a ^ b;
+      if (x) return s + (int64_t)(__builtin_ctzll(x) >> 3);
+    }
+    for (; s < m; s++)
       if (read[q0 + s] != chrom[t0 + s]) return s;
     return m;
   };
