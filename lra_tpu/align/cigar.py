@@ -159,10 +159,34 @@ def blocks_to_ops(blocks, read: np.ndarray, chrom: np.ndarray,
     return list(zip(chars[codes].tolist(), lens.tolist()))
 
 
+_LOG_TABLE64 = _LOG_TABLE.astype(np.float64)  # native scoring reads f64;
+# f64(f32 entry) matches the python path's upcast exactly
+
+
 def score_op_arrays(codes: np.ndarray, lens: np.ndarray,
                     show_mismatch: bool = True) -> AlnStats:
     """Vectorized CIGAR string + stats + NV from op-run arrays."""
+    from .. import native
+
     st = AlnStats()
+    nat = native.score_ops(codes, lens, _LOG_TABLE64)
+    if nat is not None:
+        ic, val = nat
+        (st.nm, st.nmm, st.nins, st.tins, st.ndel, st.tdel,
+         st.n_small_del, st.n_med_del, st.n_large_del,
+         st.n_small_ins, st.n_med_ins, st.n_large_ins) = \
+            (int(x) for x in ic)
+        st.value = val
+        nc = native.cigar_string(codes, lens,
+                                 "=XID" if show_mismatch else "MXID")
+        if nc is not None:
+            st.cigar = nc
+            return st
+        chars = _OP_CHARS if show_mismatch else _OP_CHARS_M
+        cl = chars[codes]
+        st.cigar = "".join(
+            f"{int(ln)}{c}" for c, ln in zip(cl.tolist(), lens.tolist()))
+        return st
     is_m = codes == 0
     is_x = codes == 1
     is_i = codes == 2

@@ -115,6 +115,10 @@ def _bind(lib):
     lib.lrn_blocks_packed.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.lrn_score_ops.restype = None
+    lib.lrn_score_ops.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.lrn_op_arrays.restype = ctypes.c_int64
     lib.lrn_op_arrays.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -202,6 +206,29 @@ def blocks_from_packed(packed: np.ndarray):
         res.append(tr[off:off + c])
         off += c
     return res
+
+
+def score_ops(codes: np.ndarray, lens: np.ndarray, logtab: np.ndarray):
+    """Native stats + NV value over op-run arrays.  Returns
+    (icounts int64[12], value float) or None.
+
+    The value accumulates sequentially in op order (the reference's own
+    walk, Alignment.h:467-504); the numpy fallback uses pairwise
+    summation, so the two can differ by ~1e-9 relative — far inside the
+    golden-suite NV tolerance and the :g output formatting."""
+    lib = _load()
+    if not lib:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int64)
+    ic = np.zeros(12, np.int64)
+    val = ctypes.c_double()
+    lib.lrn_score_ops(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p), len(codes),
+        logtab.ctypes.data_as(ctypes.c_void_p), len(logtab),
+        ic.ctypes.data_as(ctypes.c_void_p), ctypes.byref(val))
+    return ic, val.value
 
 
 def op_arrays(blocks: np.ndarray, read: np.ndarray, chrom: np.ndarray,

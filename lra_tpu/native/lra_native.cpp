@@ -768,6 +768,48 @@ extern "C" int64_t lrn_blocks_packed(const uint8_t* packed, int64_t B,
   return total;
 }
 
+// Alignment statistics + concave NV score from op-run arrays (native
+// mirror of align/cigar.score_op_arrays; NV log-table scoring quirks
+// reference Alignment.h:467-495).  icounts (12): nm, nmm, nins, tins,
+// ndel, tdel, n_small_del, n_med_del, n_large_del, n_small_ins,
+// n_med_ins, n_large_ins.
+extern "C" void lrn_score_ops(const uint8_t* codes, const int64_t* lens,
+                              int64_t n, const double* logtab,
+                              int64_t logn, int64_t* ic, double* value) {
+  for (int i = 0; i < 12; i++) ic[i] = 0;
+  double val = 0.0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t l = lens[i];
+    switch (codes[i]) {
+      case 0: ic[0] += l; val += (double)l; break;
+      case 1: ic[1] += l; val -= (double)l; break;
+      case 2:                                   // I
+        ic[2]++; ic[3] += l;
+        if (l <= 10) ic[9]++;
+        if (l <= 20) ic[9]++;                   // reference quirk kept
+        if (l > 10 && l < 50) ic[10]++;
+        if (l > 50) ic[11]++;
+        break;
+      case 3:                                   // D
+        ic[4]++; ic[5] += l;
+        if (l <= 10) ic[6]++;
+        if (l > 10 && l < 50) ic[7]++;
+        if (l > 50) ic[8]++;
+        break;
+    }
+    if (codes[i] == 2 || codes[i] == 3) {
+      if (l <= 20) val -= (double)l;
+      else if (l <= 10001) {
+        int64_t idx = (l - 1) / 5;
+        if (idx > logn - 1) idx = logn - 1;
+        val -= 3.0 * logtab[idx] + 1.0;
+      } else if (l <= 100001) val -= 1000.0;
+      else val -= 2000.0;
+    }
+  }
+  *value = val;
+}
+
 // Build merged CIGAR op-run arrays from a block list in one pass
 // (native mirror of align/cigar.blocks_to_op_arrays: per inter-block
 // gap emit I then D then the re-aligned commonGap span, reference

@@ -354,3 +354,34 @@ def test_op_arrays_matches_python():
                 nat.op_arrays = real
             assert np.array_equal(got[0], want[0])
             assert np.array_equal(got[1], want[1])
+
+
+def test_score_ops_matches_python():
+    """Native stats/NV == python score_op_arrays (value within float
+    summation-order noise; every integer stat and the CIGAR exact)."""
+    import lra_tpu.native as nat
+    from lra_tpu.align import cigar as C
+
+    if not nat.available():
+        return
+    rng = np.random.default_rng(9)
+    fields = ("nm", "nmm", "nins", "tins", "ndel", "tdel",
+              "n_small_del", "n_med_del", "n_large_del",
+              "n_small_ins", "n_med_ins", "n_large_ins", "cigar")
+    for trial in range(80):
+        n = int(rng.integers(1, 200))
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        lens = rng.integers(1, 120000, n).astype(np.int64)
+        for sm in (True, False):
+            got = C.score_op_arrays(codes, lens, sm)
+            real = nat.score_ops
+            try:
+                nat.score_ops = lambda *a, **k: None
+                want = C.score_op_arrays(codes, lens, sm)
+            finally:
+                nat.score_ops = real
+            for f in fields:
+                assert getattr(got, f) == getattr(want, f), (trial, f)
+            assert abs(got.value - want.value) <= \
+                1e-6 * max(1.0, abs(want.value)), (trial, got.value,
+                                                   want.value)
