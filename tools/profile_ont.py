@@ -35,7 +35,10 @@ def main():
         nb = int(sys.argv[sys.argv.index("--nbatch") + 1])
     enable_compile_cache()
     rng = np.random.default_rng(0)
-    g = random_genome(rng, 2_000_000)
+    gmb = 2
+    if "--genome" in sys.argv:
+        gmb = int(sys.argv[sys.argv.index("--genome") + 1])
+    g = random_genome(rng, gmb * 1_000_000)
     genome = Genome.from_seqs([("chr1", g)])
     opts = preset(kind)
     if "--pallas" in sys.argv:
