@@ -119,9 +119,17 @@ def find_matches_batch(reads_codes: list, index: GlobalIndex,
     from . import native
     if native.available():
         read_off = np.concatenate([[0], np.cumsum(counts)])
+        # prefix LUT over the sorted index (built once, cached on the
+        # index object): on 100Mb+ genomes it replaces log2(ni)
+        # cache-missing probes per distinct tuple with ~4 in-bucket ones
+        lut = getattr(index, "_match_lut", False)
+        if lut is False:
+            lut = native.match_lut_build(index.tuples, 2 * k)
+            index._match_lut = lut
         res = native.match_batch(qt, qp.astype(np.uint32), qs, read_off,
                                  index.tuples, index.pos, index.strand,
-                                 index.freqs, opts.global_max_freq)
+                                 index.freqs, opts.global_max_freq,
+                                 lut=lut)
         if res is not None:
             qpos_a, tpos_a, freq_a, is_rev_a, rstart = res
             out = []

@@ -92,8 +92,13 @@ def _bind(lib):
         [ctypes.c_void_p] * 3 + [ctypes.c_int64]
         + [ctypes.c_void_p, ctypes.c_int64]
         + [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 2
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         + [ctypes.c_void_p] * 5 + [ctypes.c_int64]
     )
+    lib.lrn_match_lut_build.restype = None
+    lib.lrn_match_lut_build.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
     lib.lrn_local_reseed.restype = ctypes.c_int64
     lib.lrn_local_reseed.argtypes = (
         [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 3
@@ -473,7 +478,29 @@ def local_reseed(genome_li, rli, ls: int, le: int, chrom_off: int,
         cap *= 4
 
 
-def match_batch(qt, qp, qs, read_off, it, ip, istr, ifr, max_freq):
+_LUT_BITS = 22           # 4M buckets (32MB) — built once per index
+_LUT_MIN_NI = 1 << 20    # below ~1M index rows plain binary search wins
+
+
+def match_lut_build(it: np.ndarray, tuple_bits: int):
+    """Prefix LUT over a sorted tuple index for large genomes; returns
+    (lut int64[nb+1], shift, nb) or None (unavailable / index small)."""
+    lib = _load()
+    if not lib or len(it) < _LUT_MIN_NI:
+        return None
+    it = np.ascontiguousarray(it, np.uint64)
+    bits = min(_LUT_BITS, tuple_bits)
+    shift = max(0, tuple_bits - bits)
+    nb = 1 << bits
+    lut = np.empty(nb + 1, np.int64)
+    lib.lrn_match_lut_build(
+        it.ctypes.data_as(ctypes.c_void_p), len(it), shift,
+        lut.ctypes.data_as(ctypes.c_void_p), nb)
+    return lut, shift, nb
+
+
+def match_batch(qt, qp, qs, read_off, it, ip, istr, ifr, max_freq,
+                lut=None):
     """Native batched anchor intersection (CompareLists analog).
 
     qt/qp/qs: concatenated per-read minimizer tuples/positions/strands;
@@ -501,6 +528,11 @@ def match_batch(qt, qp, qs, read_off, it, ip, istr, ifr, max_freq):
         freq = np.empty(cap, np.int64)
         rev = np.empty(cap, np.uint8)
         rstart = np.empty(n_reads + 1, np.int64)
+        if lut is not None:
+            lut_arr, lut_shift, lut_nb = lut
+            lut_ptr = lut_arr.ctypes.data_as(ctypes.c_void_p)
+        else:
+            lut_ptr, lut_shift, lut_nb = None, 0, 0
         n = lib.lrn_match_batch(
             qt.ctypes.data_as(ctypes.c_void_p),
             qp.ctypes.data_as(ctypes.c_void_p),
@@ -510,6 +542,7 @@ def match_batch(qt, qp, qs, read_off, it, ip, istr, ifr, max_freq):
             ip.ctypes.data_as(ctypes.c_void_p),
             istr.ctypes.data_as(ctypes.c_void_p),
             ifr.ctypes.data_as(ctypes.c_void_p), len(it), max_freq,
+            lut_ptr, lut_shift, lut_nb,
             qpos.ctypes.data_as(ctypes.c_void_p),
             tpos.ctypes.data_as(ctypes.c_void_p),
             freq.ctypes.data_as(ctypes.c_void_p),

@@ -533,11 +533,26 @@ int64_t lrn_linear_extend(const uint8_t* read, int64_t /*qlen*/,
 // tuple-minor with stable ties, hits in index row order) so downstream
 // stable sorts see identical tie ordering.  Returns the total match
 // count, or -(needed) when `cap` is insufficient.
+// First-level lookup table over tuple prefixes: lut[p] = first index
+// row whose (tuple >> shift) >= p, lut[nbuckets] = ni.  Narrows each
+// binary search from log2(ni) cache-missing probes to a handful inside
+// one bucket — the dominant anchor-stage cost on 100Mb+ genomes.
+extern "C" void lrn_match_lut_build(const uint64_t* it, int64_t ni,
+                                    int64_t shift, int64_t* lut,
+                                    int64_t nbuckets) {
+  int64_t i = 0;
+  for (int64_t p = 0; p <= nbuckets; p++) {
+    while (i < ni && (int64_t)(it[i] >> shift) < p) i++;
+    lut[p] = i;
+  }
+}
+
 int64_t lrn_match_batch(
     const uint64_t* qt, const uint32_t* qp, const uint8_t* qs, int64_t nq,
     const int64_t* read_off, int64_t n_reads,
     const uint64_t* it, const uint32_t* ip, const uint8_t* istr,
     const int32_t* ifr, int64_t ni, int64_t max_freq,
+    const int64_t* lut, int64_t lut_shift, int64_t lut_nbuckets,
     int64_t* out_qpos, int64_t* out_tpos, int64_t* out_freq,
     uint8_t* out_rev, int64_t* out_read_start, int64_t cap) {
   std::vector<int64_t> order;
@@ -556,8 +571,16 @@ int64_t lrn_match_batch(
       while (e < n && qt[order[e]] == qt[order[m]]) e++;
       if (e - m <= max_freq) {
         const uint64_t key = qt[order[m]];
-        const uint64_t* l = std::lower_bound(it, it + ni, key);
-        const uint64_t* u = std::upper_bound(l, it + ni, key);
+        const uint64_t* base = it;
+        const uint64_t* end = it + ni;
+        if (lut) {
+          int64_t p = (int64_t)(key >> lut_shift);
+          if (p > lut_nbuckets - 1) p = lut_nbuckets - 1;
+          base = it + lut[p];
+          end = it + lut[p + 1];
+        }
+        const uint64_t* l = std::lower_bound(base, end, key);
+        const uint64_t* u = std::upper_bound(l, end, key);
         if (u > l) {
           int64_t ilo = l - it, icnt = u - l;
           for (int64_t o = m; o < e; o++) {

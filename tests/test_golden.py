@@ -196,6 +196,20 @@ def test_golden_ont(ref_bin, tmp_path):
     _compare(ref_rows, ours, 0.9, mass_ratio=1.3, mass_slack=10)
 
 
+def test_golden_ont_device(ref_bin, tmp_path):
+    """ONT golden through the DEVICE kernel path (lowacc pipeline with
+    batched SDP/gap/indel rounds) — same floors as the host-path test."""
+    rng = np.random.default_rng(77)
+    g = random_genome(rng, 300000)
+    reads = _sim_reads(rng, g, 16, 9000, 0.05)
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-ONT")
+    assert len(ref_rows) >= 12
+    genome = Genome.from_seqs([("chr1", g)])
+    ours = _run_ours(genome, reads, preset("ont"), use_device=True)
+    _compare(ref_rows, ours, 0.9, mass_ratio=1.3, mass_slack=10)
+
+
 def test_golden_clr(ref_bin, tmp_path):
     rng = np.random.default_rng(99)
     g = random_genome(rng, 300000)

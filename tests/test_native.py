@@ -385,3 +385,33 @@ def test_score_ops_matches_python():
             assert abs(got.value - want.value) <= \
                 1e-6 * max(1.0, abs(want.value)), (trial, got.value,
                                                    want.value)
+
+
+def test_match_lut_equivalence():
+    """LUT-narrowed index search == plain binary search, including
+    absent tuples and prefix-boundary keys."""
+    import lra_tpu.native as nat
+
+    if not nat.available():
+        return
+    rng = np.random.default_rng(21)
+    k = 8            # small tuple space -> dense prefix buckets
+    ni = 1 << 20     # exactly the LUT threshold
+    it = np.sort(rng.integers(0, 1 << (2 * k), ni).astype(np.uint64))
+    ip = rng.integers(0, 1 << 31, ni).astype(np.uint32)
+    istr = rng.integers(0, 2, ni).astype(np.uint8)
+    ifr = np.ones(ni, np.int32)
+    nq = 4000
+    qt = np.concatenate([
+        rng.choice(it, nq // 2),
+        rng.integers(0, 1 << (2 * k), nq // 2).astype(np.uint64)])
+    qp = rng.integers(0, 10000, nq).astype(np.uint32)
+    qs = rng.integers(0, 2, nq).astype(np.uint8)
+    read_off = np.array([0, nq // 3, nq], np.int64)
+    plain = nat.match_batch(qt, qp, qs, read_off, it, ip, istr, ifr, 6)
+    lut = nat.match_lut_build(it, 2 * k)
+    assert lut is not None
+    fast = nat.match_batch(qt, qp, qs, read_off, it, ip, istr, ifr, 6,
+                           lut=lut)
+    for a, b in zip(plain, fast):
+        assert np.array_equal(a, b)
