@@ -6,7 +6,9 @@ peak RSS, CCS and ONT alignment throughput + truth placement, and a
 10Mb repeat-bearing contig through the windowed+sharded chaining path.
 
 Usage: python tools/human_scale.py [--size MB] [--skip-contig]
-Prints a summary table for BASELINE.md.
+           [--kinds ccs,ont] [--nchrom N]
+Prints a summary table for BASELINE.md.  For GRCh38-scale runs use
+e.g. ``--size 3000 --nchrom 24 --kinds ccs --skip-contig``.
 """
 
 import resource
@@ -34,8 +36,13 @@ def main():
     size_mb = 150
     if "--size" in sys.argv:
         size_mb = int(sys.argv[sys.argv.index("--size") + 1])
+    kinds = ("ccs", "ont")
+    if "--kinds" in sys.argv:
+        kinds = tuple(sys.argv[sys.argv.index("--kinds") + 1].split(","))
     rng = np.random.default_rng(0)
     nchrom = 3
+    if "--nchrom" in sys.argv:
+        nchrom = int(sys.argv[sys.argv.index("--nchrom") + 1])
     per = size_mb * 1_000_000 // nchrom
     print(f"genome: {size_mb}Mb, {nchrom} chromosomes", file=sys.stderr)
     t0 = time.time()
@@ -58,8 +65,10 @@ def main():
           file=sys.stderr)
 
     rows = []
-    for kind, n, rl, err, sub, workers in (("ccs", 256, 8000, 0.005, 128, 2),
-                                           ("ont", 128, 12000, 0.05, 64, 3)):
+    workloads = {"ccs": (256, 8000, 0.005, 128, 2),
+                 "ont": (128, 12000, 0.05, 64, 3)}
+    for kind in kinds:
+        n, rl, err, sub, workers = workloads[kind]
         opts = preset(kind)
         t0 = time.time()
         idx = build_global_index(genome, opts)
