@@ -382,9 +382,13 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                                           genome_li.w, genome_li.window,
                                           opts.local_max_freq)]
                 cls = [c for c, _ in seg_clusters]
+                # lowacc reseed: sow=500 read-boundary widening + the
+                # +-50 diagonal band (reference: ChainRefine.h:426-427,
+                # 510-512 Refine_splitchain; highacc keeps 100/100)
                 refined = refine_clusters(cls, genome, genome_li,
                                           st.codes, st.rc, opts,
-                                          read_li=st._read_li)
+                                          read_li=st._read_li,
+                                          end_margin=500, diag_margin=50)
                 seg_clusters = [
                     (r if len(r) else c, ty)
                     for r, (c, ty) in zip(refined, seg_clusters)]

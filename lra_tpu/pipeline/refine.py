@@ -29,12 +29,25 @@ def _swap_strand(qpos: np.ndarray, read_len: int, K: int) -> np.ndarray:
 def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
                     read_codes: np.ndarray, read_rc: np.ndarray,
                     opts: Options, window: int = 100,
-                    read_li=None) -> list:
+                    read_li=None, end_margin: int | None = None,
+                    diag_margin: int = 100) -> list:
     """Reseed each cluster with local-index matches inside its diagonal
     band.  Returns new clusters (k = genome_li.k anchors, chrom-local t).
-    Input clusters must already be chrom-local."""
+    Input clusters must already be chrom-local.
+
+    window: genome-side window expansion (smallOpts.window, both paths).
+    end_margin: read-boundary widening at the first/last genome window —
+      the highacc path uses smallOpts.window=100 (ClusterRefine.h:168-185)
+      but the lowacc path uses the hard-coded sow=500
+      (ChainRefine.h:510-512), which is what seeds the read tails densely
+      enough for the final chain to reach the read ends.  None = window.
+    diag_margin: diagonal band around the cluster's [minDN, maxDN] —
+      100 highacc (ClusterRefine.h:96-97), 50 lowacc
+      (ChainRefine.h:426-427)."""
     read_len = len(read_codes)
     k = genome_li.k
+    if end_margin is None:
+        end_margin = window
     if read_li is None:
         read_li = [build_local_index(read_codes, k, genome_li.w,
                                      genome_li.window, opts.local_max_freq),
@@ -58,14 +71,24 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
                 q = read_len - (q + c.lengths)
             else:
                 q = _swap_strand(q, read_len, c.k)
-        # diagonal band (reference: ClusterRefine.h:89-97)
+        # diagonal band (reference: ClusterRefine.h:89-97 highacc +-100;
+        # ChainRefine.h:426-427 lowacc +-50)
         d = t - q
-        max_dn = int(d.max()) + 100
-        min_dn = int(d.min()) - 100
+        max_dn = int(d.max()) + diag_margin
+        min_dn = int(d.min()) - diag_margin
+        # box bounds use true anchor ENDS: extended clusters carry
+        # variable per-anchor lengths, and the reference's qEnd/tEnd are
+        # set from them (Mapping_ultility.h:339-344) — +k alone clips
+        # the reseed box short of the cluster's real end and loses the
+        # dense read-tail seeds the final chain needs
         qlo = int(q.min())
-        qhi = int(q.max()) + c.k
         tlo = int(t.min())
-        thi = int(t.max()) + c.k
+        if c.lengths is not None:
+            qhi = int((q + c.lengths).max())
+            thi = int((t + c.lengths).max())
+        else:
+            qhi = int(q.max()) + c.k
+            thi = int(t.max()) + c.k
 
         # genome windows overlapping [tlo - window, thi + window]
         wts = max(chrom_off, chrom_off + tlo - window)
@@ -84,7 +107,7 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
         if native.available():
             qq, tt = native.local_reseed(
                 genome_li, rli, ls, le, chrom_off, read_len,
-                opts.local_max_freq, window, t_sorted, q_by_t,
+                opts.local_max_freq, end_margin, t_sorted, q_by_t,
                 min_dn, max_dn, qlo, qhi, tlo, thi)
             if len(qq):
                 if c.strand == 1:
@@ -110,9 +133,9 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
             r_hi = int(q_by_t[m_e])
             r_lo, r_hi = min(r_lo, r_hi), max(r_lo, r_hi)
             if lsi == ls:
-                r_lo = max(0, r_lo - window)
+                r_lo = max(0, r_lo - end_margin)
             if lsi == le:
-                r_hi = min(read_len, r_hi + window)
+                r_hi = min(read_len, r_hi + end_margin)
             if r_lo > r_hi:
                 continue
             qi_s = rli.lookup_window(r_lo)
@@ -421,6 +444,10 @@ def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
     read_len = len(read_codes)
     low_b = 1000 if opts.read_type == ReadType.CONTIG else 20
     upper = 100000 if opts.read_type == ReadType.CONTIG else 50000
+    # the lowacc path gates btwn/end reseeds on refineSpaceDist=10000
+    # (reference: ChainRefine.h:524-527,710,745), not the highacc 50000
+    if opts.read_type in (ReadType.ONT, ReadType.CLR):
+        upper = opts.refine_space_dist
     starts = genome.starts()
     rev_clusters: list = []   # captured inversion clusters (returned)
     for c in range(1, len(chain_clusters)):
@@ -496,39 +523,60 @@ def refine_btwn_clusters_chain(chain_clusters: list, genome, read_codes,
                                       read_codes, read_rc, opts, K, W,
                                       qs, qe, tsx, tex, True,
                                       rev_clusters)
-    # read-end spaces (reference: ClusterRefine.h:560-615)
+    # read-end spaces (reference: ClusterRefine.h:546-613 highacc /
+    # ChainRefine.h:694-741 lowacc — identical geometry in both: the t
+    # box projects the q gap from the chain end, then expands 500bp on
+    # the far side (lrts/lrlength) so deletions near the read end can
+    # still be reached; gated on te+500 < chrom_len BEFORE expansion)
+    lowacc = opts.read_type in (ReadType.ONT, ReadType.CLR)
+    end_low = 20 if lowacc else low_b
+    end_upper = opts.refine_space_dist if lowacc else upper
     for end_right in (True, False):
         cc = chain_clusters[0] if end_right else chain_clusters[-1]
         if len(cc) == 0:
             continue
         chrom_codes = genome.codes[starts[cc.chrom]:genome.ends[cc.chrom]]
         chrom_len = len(chrom_codes)
+        st = cc.strand
         if end_right:
             qs, qe = cc.qEnd, read_len
-            if cc.strand == 0:
+            if st == 0:
                 ts = cc.tEnd
-                te = min(chrom_len, ts + (qe - qs))
+                te = ts + (qe - qs)
+                lrts, lrlength = 0, 500
             else:
                 te = cc.tStart
-                ts = max(0, te - (qe - qs))
+                if te <= qe - qs:   # reference sets te=0 -> te>ts fails
+                    continue
+                ts = te - (qe - qs)
+                lrts = 500 if ts > 500 else 0
+                lrlength = lrts
         else:
             qs, qe = 0, cc.qStart
-            if cc.strand == 0:
+            if st == 0:
                 te = cc.tStart
-                ts = max(0, te - (qe - qs))
+                ts = te - (qe - qs) if te > qe - qs else 0
+                lrts = 500 if ts > 500 else 0
+                lrlength = lrts
             else:
                 ts = cc.tEnd
-                te = min(chrom_len, ts + (qe - qs))
+                te = ts + (qe - qs)
+                lrts, lrlength = 0, 500
         if qe <= qs or te <= ts:
             continue
         span = max(qe - qs, te - ts)
-        if 20 <= span <= upper:
-            if box_tasks is not None:
-                enqueue_btwn_box(box_tasks, cc, chrom_codes, read_codes,
-                                 read_rc, K, W, qs, qe, ts, te, True,
-                                 rev_clusters)
-            else:
-                refine_btwn_space(cc, genome, chrom_codes, read_codes,
-                                  read_rc, opts, K, W, qs, qe, ts, te, True,
-                                  rev_clusters)
+        if not (end_low <= span < end_upper) or te + 500 >= chrom_len:
+            continue
+        # expanded t box [ts-lrts, te-lrts+lrlength) (RefineSpace's
+        # refSeq slice, ClusterRefine.h:259); harvested seed t
+        # coordinates are relative to the expanded start, as there
+        tsx, tex = ts - lrts, te - lrts + lrlength
+        if box_tasks is not None:
+            enqueue_btwn_box(box_tasks, cc, chrom_codes, read_codes,
+                             read_rc, K, W, qs, qe, tsx, tex, True,
+                             rev_clusters)
+        else:
+            refine_btwn_space(cc, genome, chrom_codes, read_codes,
+                              read_rc, opts, K, W, qs, qe, tsx, tex, True,
+                              rev_clusters)
     return rev_clusters

@@ -5,7 +5,8 @@ pipeline on the same inputs, and prints a per-read comparison of
 placement, full CIGAR, and NM/NV/AS tag values, with the first point of
 CIGAR divergence for non-identical reads.
 
-Usage: python tools/golden_diff.py [n_reads] [err] [seed]
+Usage: python tools/golden_diff.py [n_reads] [err] [seed] [preset]
+(preset: ccs | ont | clr; err defaults scale with the preset)
 """
 
 import os
@@ -64,14 +65,18 @@ def first_diff(a, b):
 
 
 def main():
+    kind = sys.argv[4] if len(sys.argv) > 4 else "ccs"
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    err = float(sys.argv[2]) if len(sys.argv) > 2 else 0.002
+    default_err = {"ccs": 0.002, "ont": 0.05, "clr": 0.12}[kind]
+    err = float(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2] != "-" \
+        else default_err
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    rlen = 6000 if kind == "ccs" else 12000
     rng = np.random.default_rng(seed)
     g = random_genome(rng, 300000)
     reads = []
     for i in range(n):
-        r = sample_read(rng, g, 6000, snp=err * 0.6, ins=err * 0.2,
+        r = sample_read(rng, g, rlen, snp=err * 0.6, ins=err * 0.2,
                         dele=err * 0.2)
         reads.append((f"r{i}", r.codes))
     d = tempfile.mkdtemp(prefix="golden_diff_")
@@ -82,18 +87,27 @@ def main():
             f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
     ref = bench.build_reference()
     assert ref, "reference build failed"
-    subprocess.run([ref, "index", "-CCS", "ref.fa"], cwd=d, check=True,
+    flag = {"ccs": "-CCS", "ont": "-ONT", "clr": "-CLR"}[kind]
+    subprocess.run([ref, "index", flag, "ref.fa"], cwd=d, check=True,
                    capture_output=True, timeout=600)
     out = subprocess.run(
-        [ref, "align", "-CCS", "ref.fa", "reads.fa", "-t", "1", "-p", "s"],
+        [ref, "align", flag, "ref.fa", "reads.fa", "-t", "1", "-p", "s"],
         cwd=d, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-400:]
     ref_rows = parse(out.stdout)
 
     genome = Genome.from_seqs([("chr1", g)])
-    opts = preset("ccs")
+    opts = preset(kind)
+    genome_li = None
+    if kind != "ccs":
+        from lra_tpu.index.local_index import build_genome_local_index
+
+        genome_li = build_genome_local_index(
+            genome, k=min(opts.local_k, 10), w=opts.local_w,
+            window=opts.local_index_window, max_freq=opts.local_max_freq)
     idx = build_global_index(genome, opts)
-    _, lines = align_reads(reads, genome, idx, opts, use_device=False)
+    _, lines = align_reads(reads, genome, idx, opts, use_device=False,
+                           genome_li=genome_li)
     our_rows = parse("\n".join(lines))
 
     ident = 0
