@@ -64,26 +64,21 @@ def plan_refine_regions(seg, opts: Options):
         # made any region following a long flank block blow the cap
         # immediately and get planned without its left flank, putting
         # consolidations that move the flank boundary out of DP reach
-        eff0 = blocks[i][2] - consumed
-        ws = blocks[i][0] + consumed + max(0, eff0 - max_gap)
         while j < n - 1:
             q, t, ln = blocks[j]
             qn, tn, ln_n = blocks[j + 1]
             qgap = qn - (q + ln)
             tgap = tn - (t + ln)
-            # span cap: a very noisy read can otherwise chain most of its
-            # blocks into one region, creating device jobs of unbounded
-            # length (each a fresh compile + a long sequential scan);
-            # consolidation within 1kb windows is still ~30x wider than
-            # the reference's refine band (the scale at which it merges
-            # nearby indels, IndelRefine.h:133-165).  The cap leaves room
-            # for the two flank windows so the job stays inside the
-            # S=1024 size bucket — spilling into S=2048 doubles both the
-            # kernel scan length and the op-plane download per job
-            span = qn + min(ln_n, max_gap) - ws
+            # NO span cap: the reference groups until a >=100bp block or
+            # a >=maxGap junction, with no length limit
+            # (IndelRefine.h:147-165).  An artificial cap splits regions
+            # mid-run and loses consolidations that cross the seam (two
+            # 1D merging into one 2D across the cut was a measured
+            # bit-identity residual).  Rare regions longer than the
+            # S=2048 device bucket are solved on the host refine DP
+            # instead (solve_gap_jobs long-refine routing).
             if qgap < max_gap and tgap < max_gap and \
-               (j == i or blocks[j][2] < 100) and \
-               span <= 1024 - 2 * max_gap:
+               (j == i or blocks[j][2] < 100):
                 j += 1
             else:
                 break
@@ -131,9 +126,10 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
     if nb == 0:
         seg.refine_plan = []
         return jobs
-    res = native.plan_indel_regions(
-        np.asarray(seg.blocks, np.int64).reshape(nb, 3), read, chrom,
-        max_gap, 1024 - 2 * max_gap, diag_ok, opts.refine_band)
+    bl = np.asarray(seg.blocks, np.int64).reshape(nb, 3)
+    res = native.plan_indel_regions(bl, read, chrom,
+                                    max_gap, 1 << 30, diag_ok,
+                                    opts.refine_band)
     if res is not None:
         seg.refine_plan = [tuple(r) for r in res[:, :4].tolist()]
         for lo, hi, trim0, keep1, q0, t0, q1, t1, band, kind in \
@@ -146,6 +142,7 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
             else:
                 job = GapJob(read[q0 + 1:q1], chrom[t0 + 1:t1], key)
                 job.refine = True
+                job.path = _job_path(bl, lo, hi, trim0, keep1, q0, t0)
             job.band = band
             jobs.append(job)
         return jobs
@@ -204,8 +201,26 @@ def queue_indel_refine_jobs(seg, read: np.ndarray, chrom: np.ndarray,
                      key_prefix + (lo, hi, q0, t0, trim0, keep1))
         job.band = band
         job.refine = True
+        job.path = _job_path(np.asarray(seg.blocks, np.int64), lo, hi,
+                             trim0, keep1, q0, t0)
         jobs.append(job)
     return jobs
+
+
+def _job_path(bl: np.ndarray, lo: int, hi: int, trim0: int, keep1: int,
+              q0: int, t0: int) -> np.ndarray:
+    """Job-local block path of a refine region: blocks[lo..hi] with the
+    first trimmed to its last max_gap bases (trim0) and the last to its
+    first keep1, shifted so the forced first pair (q0, t0) is the DP
+    origin.  Feeds the shaped-band host DP's per-row windows."""
+    pb = bl[lo:hi + 1].copy()
+    pb[0, 0] += trim0 + 1
+    pb[0, 1] += trim0 + 1
+    pb[0, 2] -= trim0 + 1
+    pb[-1, 2] = keep1 if hi > lo else pb[-1, 2]
+    pb[:, 0] -= q0 + 1
+    pb[:, 1] -= t0 + 1
+    return pb
 
 
 def splice_refined_blocks(seg, jobs: list) -> None:

@@ -133,6 +133,16 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.lrn_refine_dp_shaped.restype = ctypes.c_int64
+    lib.lrn_refine_dp_shaped.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.lrn_refine_dp.restype = ctypes.c_int64
+    lib.lrn_refine_dp.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -569,3 +579,52 @@ def counting_argsort_i32(keys: np.ndarray, max_range: int = 1 << 20):
     if rc != 0:
         return None
     return out
+
+
+def refine_dp(q: np.ndarray, t: np.ndarray, K: int, kband: int,
+              m: int, mm: int, indel: int):
+    """Refine-lane banded DP + traceback for one long indel-refine
+    region (C mirror of ops/affine_kernel.banded_refine_np +
+    traceback_refine, identical recurrence/tie order).  Returns blocks
+    [(q_off, t_off, len)] or None if the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    q = np.ascontiguousarray(q, np.int8)
+    t = np.ascontiguousarray(t, np.int8)
+    cap = len(q) + len(t) + 2
+    out = np.empty((cap, 3), np.int64)
+    nb = lib.lrn_refine_dp(
+        q.ctypes.data_as(ctypes.c_void_p), len(q),
+        t.ctypes.data_as(ctypes.c_void_p), len(t),
+        K, kband, m, mm, indel,
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if nb < 0:
+        return None
+    return [tuple(r) for r in out[:nb].tolist()]
+
+
+def refine_dp_shaped(q: np.ndarray, t: np.ndarray, path: np.ndarray,
+                     k: int, m: int, mm: int, indel: int):
+    """Shaped-band refine DP: per-row q windows dilated from the
+    region's existing block path (the reference's qS/qE geometry,
+    IndelRefine.h:219-330, as a slightly wider superset).  path:
+    [n,3] int64 job-local (q,t,len) triples spanning (0,0)..(qlen,tlen).
+    Returns blocks [(q_off, t_off, len)] or None if unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    q = np.ascontiguousarray(q, np.int8)
+    t = np.ascontiguousarray(t, np.int8)
+    path = np.ascontiguousarray(path, np.int64)
+    cap = len(q) + len(t) + 2
+    out = np.empty((cap, 3), np.int64)
+    nb = lib.lrn_refine_dp_shaped(
+        q.ctypes.data_as(ctypes.c_void_p), len(q),
+        t.ctypes.data_as(ctypes.c_void_p), len(t),
+        path.ctypes.data_as(ctypes.c_void_p), len(path),
+        k, m, mm, indel,
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if nb < 0:
+        return None
+    return [tuple(r) for r in out[:nb].tolist()]

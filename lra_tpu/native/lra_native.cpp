@@ -969,4 +969,412 @@ extern "C" int64_t lrn_plan_indel_regions(
   return nreg;
 }
 
+// Refine-lane banded DP + lane-aware traceback (C mirror of
+// ops/affine_kernel.banded_refine_np + traceback_refine; identical
+// recurrence and tie order).  Affine consolidation lanes on top of
+// linear single-step gaps: gap open = 2*indel+1, extend = 0 (the
+// reference's IndelRefine scoring, IndelRefine.h:339-612).  Used for
+// long indel-refine regions (reference groups regions with no span
+// cap, IndelRefine.h:147-165) where a device bucket dispatch would be
+// a near-empty giant tier; O(tlen * band) with small band.
+// Scores are exact in float32 (all integer-valued), matching the numpy
+// mirror bit-for-bit including the -1e30 rail absorption semantics.
+// Returns n blocks written to blocks_out (int64 triples q,t,len,
+// region-local), or -1 if max_blocks too small.
+// Shaped-band variant: per-row q windows dilated from the region's
+// existing block path (the reference's qS/qE construction,
+// IndelRefine.h:219-330, computed as a slightly wider superset:
+// path dilated k rows in t and k+1 in q, then made monotone like the
+// reference's two passes at :318-325).  Cost O(path_len * (2k+3))
+// regardless of total diagonal drift — the rectangular band pays
+// O(len * 2*(k+drift)) and explores paths the reference's shaped band
+// cannot, so this is both the fast and the more faithful geometry.
+// path_blocks: job-local (q,t,len) triples of the region's current
+// alignment (must start at (0,0) and end at (qlen,tlen) corners).
+// Returns blocks written, or -1 on overflow/degenerate input.
+int64_t lrn_refine_dp_shaped(
+    const int8_t* q, int64_t qlen, const int8_t* t, int64_t tlen,
+    const int64_t* path_blocks, int64_t npb, int64_t k, int64_t m,
+    int64_t mm, int64_t indel, int64_t* blocks_out, int64_t max_blocks) {
+  if (tlen < 1 || qlen < 1 || npb < 1) return -1;
+  const float NEGF = -1.0e30f;
+  const int8_t A_DONE = 0, A_LEFT = 1, A_DOWN = 2, A_DIAG = 3;
+  const int8_t A_DELC = 4, A_INSC = 5;
+  const int8_t DEL_OPEN = 8, INS_OPEN = 16;
+  const float fopen = (float)(2 * indel + 1);
+  const float find = (float)indel;
+
+  // per-row path extent (pmin/pmax over path cells with t == row)
+  std::vector<int64_t> pmin(tlen + 1, INT64_MAX), pmax(tlen + 1, INT64_MIN);
+  auto touch = [&](int64_t pi, int64_t pj) {
+    if (pj < 0 || pj > tlen) return;
+    if (pi < pmin[pj]) pmin[pj] = pi;
+    if (pi > pmax[pj]) pmax[pj] = pi;
+  };
+  for (int64_t b = 0; b < npb; b++) {
+    const int64_t bq = path_blocks[b * 3], bt = path_blocks[b * 3 + 1];
+    const int64_t ln = path_blocks[b * 3 + 2];
+    touch(bq, bt);
+    touch(bq + ln, bt + ln);
+    if (bt != bt + ln) {  // diagonal run: extremes per row suffice
+      for (int64_t p = 1; p < ln; p++) touch(bq + p, bt + p);
+    }
+    if (b + 1 < npb) {  // gap legs to the next block (L-shaped walk)
+      const int64_t qe = bq + ln, te = bt + ln;
+      const int64_t qn = path_blocks[(b + 1) * 3];
+      const int64_t tn = path_blocks[(b + 1) * 3 + 1];
+      for (int64_t p = qe; p <= qn; p++) touch(p, te);   // q leg (row te)
+      for (int64_t p = te; p <= tn; p++) touch(qn, p);   // t leg
+    }
+  }
+  touch(0, 0);
+  touch(qlen, tlen);
+  // row window = own-row path extent dilated k+1 in q, UNION the bare
+  // path extents of rows within +-k (the reference's ki loop only
+  // extends neighbor rows to the bare q, not q+-k — IndelRefine.h:
+  // 263-283); on a diagonal this gives width 2k+3, not 4k+3
+  std::vector<int64_t> qlo(tlen + 1), qhi(tlen + 1);
+  // van Herk sliding min/max over the +-k row window: O(1) per row
+  const int64_t W = 2 * k + 1;
+  const int64_t n_ext = tlen + 1 + 2 * k;
+  std::vector<int64_t> emin(n_ext, INT64_MAX), emax(n_ext, INT64_MIN);
+  for (int64_t j = 0; j <= tlen; j++) {
+    emin[j + k] = pmin[j];
+    emax[j + k] = pmax[j];
+  }
+  std::vector<int64_t> pre_min(n_ext), suf_min(n_ext);
+  std::vector<int64_t> pre_max(n_ext), suf_max(n_ext);
+  for (int64_t x = 0; x < n_ext; x++) {
+    pre_min[x] = (x % W) ? std::min(pre_min[x - 1], emin[x]) : emin[x];
+    pre_max[x] = (x % W) ? std::max(pre_max[x - 1], emax[x]) : emax[x];
+  }
+  for (int64_t x = n_ext - 1; x >= 0; x--) {
+    const bool edge = (x == n_ext - 1) || ((x + 1) % W == 0);
+    suf_min[x] = edge ? emin[x] : std::min(suf_min[x + 1], emin[x]);
+    suf_max[x] = edge ? emax[x] : std::max(suf_max[x + 1], emax[x]);
+  }
+  for (int64_t j = 0; j <= tlen; j++) {
+    // window [j-k, j+k] in original rows = [j, j+2k] in extended
+    const int64_t a = j, b = j + 2 * k;
+    const int64_t nlo = std::min(suf_min[a], pre_min[b]);
+    const int64_t nhi = std::max(suf_max[a], pre_max[b]);
+    int64_t lo, hi;
+    if (pmin[j] != INT64_MAX) {
+      lo = pmin[j] - (k + 1);
+      hi = pmax[j] + (k + 1);
+    } else {
+      lo = INT64_MAX;
+      hi = INT64_MIN;
+    }
+    if (nlo != INT64_MAX) {
+      if (nlo - 1 < lo) lo = nlo - 1;
+      if (nhi + 1 > hi) hi = nhi + 1;
+    }
+    if (lo == INT64_MAX) { lo = 0; hi = qlen; }  // empty row: full width
+    qlo[j] = lo < 0 ? 0 : lo;
+    qhi[j] = hi > qlen ? qlen : hi;
+  }
+  // monotone passes (reference IndelRefine.h:318-325)
+  for (int64_t j = tlen; j >= 1; j--)
+    if (qlo[j] < qlo[j - 1]) qlo[j - 1] = qlo[j];
+  for (int64_t j = 0; j < tlen; j++)
+    if (qhi[j] > qhi[j + 1]) qhi[j + 1] = qhi[j];
+  qlo[0] = 0;
+  if (qhi[tlen] < qlen) qhi[tlen] = qlen;
+
+  // flat plane storage with per-row offsets
+  std::vector<int64_t> rowoff(tlen + 2);
+  rowoff[0] = 0;
+  for (int64_t j = 0; j <= tlen; j++)
+    rowoff[j + 1] = rowoff[j] + (qhi[j] - qlo[j] + 1);
+  std::vector<int8_t> planes((size_t)rowoff[tlen + 1], -1);
+  const int64_t maxw = [&] {
+    int64_t w = 0;
+    for (int64_t j = 0; j <= tlen; j++)
+      if (qhi[j] - qlo[j] + 1 > w) w = qhi[j] - qlo[j] + 1;
+    return w;
+  }();
+  std::vector<float> Sp(maxw, NEGF), Dp(maxw, NEGF);
+  std::vector<float> Sn(maxw, NEGF), Dn(maxw, NEGF);
+
+  // row 0: free left moves from the origin
+  {
+    int8_t* arr = &planes[0];
+    for (int64_t i = qlo[0]; i <= qhi[0]; i++) {
+      Sp[i - qlo[0]] = find * (float)i;
+      arr[i - qlo[0]] = i > 0 ? A_LEFT : A_DONE;
+    }
+  }
+  const float fm = (float)m, fmm = (float)mm;
+  std::vector<float> baseA(maxw), sMatA(maxw), delLinA(maxw);
+  for (int64_t j = 1; j <= tlen; j++) {
+    const int8_t tc = t[j - 1];
+    const int64_t lo0 = qlo[j], hi = qhi[j];
+    const int64_t plo = qlo[j - 1], phi = qhi[j - 1];
+    int8_t* arr = &planes[rowoff[j]];
+    // qlo/qhi monotone non-decreasing => lo >= plo, so only the upper
+    // bound needs checking on previous-row reads; index by absolute i
+    const float* SpP = Sp.data() - plo;
+    const float* DpP = Dp.data() - plo;
+    float S_left = NEGF;
+    float sDiag0 = (lo0 - 1 >= plo && lo0 - 1 <= phi) ? SpP[lo0 - 1] : NEGF;
+    int64_t lo = lo0;
+    int64_t xoff = 0;
+    if (lo == 0) {  // row j >= 1: column 0 is rail
+      sDiag0 = (0 <= phi) ? SpP[0] : NEGF;
+      Sn[0] = NEGF;
+      Dn[0] = NEGF;
+      arr[0] = -1;
+      lo = 1;
+      xoff = 1;
+    }
+    const int64_t w = hi - lo + 1;
+    const int64_t hi_up = hi < phi ? hi : phi;
+    const int64_t w_up = hi_up - lo + 1 > 0 ? hi_up - lo + 1 : 0;
+    float* Snr = Sn.data() + xoff;
+    float* Dnr = Dn.data() + xoff;
+    int8_t* arrr = arr + xoff;
+    const float* SpR = SpP + lo;    // sUp for x: SpR[x]
+    const float* DpR = DpP + lo;
+    const int8_t* qR = q + (lo - 1);
+    // pass A (vectorizable): base / lanes from the previous row
+    for (int64_t x = 0; x < w_up; x++) {
+      const float sUp = SpR[x];
+      const float so = sUp + fopen;
+      const float dn = so > DpR[x] ? so : DpR[x];
+      const float sub = (qR[x] == tc) ? fm : fmm;
+      const float sMat = (x ? SpR[x - 1] : sDiag0) + sub;
+      const float delLin = sUp + find;
+      float base = sMat > delLin ? sMat : delLin;
+      if (dn > base) base = dn;
+      Dnr[x] = dn;
+      baseA[x] = base;
+      sMatA[x] = sMat;
+      delLinA[x] = delLin;
+    }
+    for (int64_t x = w_up; x < w; x++) {   // above the previous window
+      const float sub = (qR[x] == tc) ? fm : fmm;
+      const float sMat = (x == w_up && x > 0 ? SpR[x - 1]
+                          : (x == 0 ? sDiag0 : NEGF)) + sub;
+      const float dn = NEGF + fopen;
+      float base = sMat > NEGF + find ? sMat : NEGF + find;
+      if (dn > base) base = dn;
+      Dnr[x] = dn;
+      baseA[x] = base;
+      sMatA[x] = sMat;
+      delLinA[x] = NEGF + find;
+    }
+    // pass B (scalar scans): ins chains + final S + arrows, branchless
+    // (reverse-priority cmov chain; data-dependent branches mispredict)
+    float L0 = NEGF, PM = NEGF;
+    for (int64_t x = 0; x < w; x++) {
+      const float base = baseA[x];
+      const float l0e = L0 + find;
+      L0 = base > l0e ? base : l0e;
+      const float irow = PM + fopen;
+      PM = base > PM ? base : PM;
+      const float s = L0 > irow ? L0 : irow;
+      Snr[x] = s;
+      const float sl_lin = S_left + find;
+      const float sl_open = S_left + fopen;
+      int a = A_INSC;
+      a = (s == Dnr[x]) ? A_DELC : a;
+      a = (s == delLinA[x]) ? A_DOWN : a;
+      a = (s == sl_lin) ? A_LEFT : a;
+      a = (s == sMatA[x]) ? A_DIAG : a;
+      const float sup = x < w_up ? SpR[x] : NEGF;
+      a |= (Dnr[x] == sup + fopen) ? DEL_OPEN : 0;
+      a |= (irow == sl_open) ? INS_OPEN : 0;
+      arrr[x] = (int8_t)a;
+      S_left = s;
+    }
+    std::swap(Sp, Sn);
+    std::swap(Dp, Dn);
+  }
+
+  // lane-aware traceback over the shaped planes
+  int64_t i = qlen, j = tlen;
+  int lane = 0;
+  std::vector<int8_t> ops;
+  ops.reserve((size_t)(qlen + tlen));
+  while (i >= 0 && j >= 0) {
+    if (i < qlo[j] || i > qhi[j]) break;
+    const int8_t p = planes[rowoff[j] + (i - qlo[j])];
+    if (p < 0) break;
+    const int code = p & 7;
+    if (lane == 1 || (lane == 0 && code == A_DELC)) {
+      ops.push_back(A_DOWN);
+      lane = (p & DEL_OPEN) ? 0 : 1;
+      j--;
+    } else if (lane == 2 || (lane == 0 && code == A_INSC)) {
+      ops.push_back(A_LEFT);
+      lane = (p & INS_OPEN) ? 0 : 2;
+      i--;
+    } else if (code == A_DONE) {
+      break;
+    } else if (code == A_DIAG) {
+      ops.push_back(A_DIAG); i--; j--;
+    } else if (code == A_LEFT) {
+      ops.push_back(A_LEFT); i--;
+    } else if (code == A_DOWN) {
+      ops.push_back(A_DOWN); j--;
+    } else {
+      break;
+    }
+  }
+  int64_t nb = 0, qPos = 0, tPos = 0, run = 0;
+  for (int64_t oi = (int64_t)ops.size() - 1; oi >= 0; oi--) {
+    const int8_t op = ops[oi];
+    if (op == A_DIAG) {
+      run++; qPos++; tPos++;
+    } else {
+      if (run) {
+        if (nb >= max_blocks) return -1;
+        blocks_out[nb * 3 + 0] = qPos - run;
+        blocks_out[nb * 3 + 1] = tPos - run;
+        blocks_out[nb * 3 + 2] = run;
+        nb++; run = 0;
+      }
+      if (op == A_LEFT) qPos++; else tPos++;
+    }
+  }
+  if (run) {
+    if (nb >= max_blocks) return -1;
+    blocks_out[nb * 3 + 0] = qPos - run;
+    blocks_out[nb * 3 + 1] = tPos - run;
+    blocks_out[nb * 3 + 2] = run;
+    nb++;
+  }
+  return nb;
+}
+
+int64_t lrn_refine_dp(const int8_t* q, int64_t qlen, const int8_t* t,
+                      int64_t tlen, int64_t K, int64_t kband, int64_t m,
+                      int64_t mm, int64_t indel, int64_t* blocks_out,
+                      int64_t max_blocks) {
+  const float NEGF = -1.0e30f;
+  const int8_t A_DONE = 0, A_LEFT = 1, A_DOWN = 2, A_DIAG = 3;
+  const int8_t A_DELC = 4, A_INSC = 5;
+  const int8_t DEL_OPEN = 8, INS_OPEN = 16;
+  const float fopen = (float)(2 * indel + 1);
+  const float find = (float)indel;
+  const int64_t band = 2 * K + 1;
+  std::vector<int8_t> planes((size_t)(tlen + 1) * band, -1);
+  std::vector<float> Sp(band), Dp(band, NEGF), Srow(band), Dnew(band);
+  std::vector<float> sMat(band), delLin(band), Irow(band);
+  std::vector<uint8_t> dopen(band), valid(band);
+
+  for (int64_t d = 0; d < band; d++) {
+    int64_t off = d - K;
+    bool inb = off >= -kband && off <= kband;
+    bool ok = inb && off >= 0 && off <= qlen;
+    Sp[d] = ok ? find * (float)off : NEGF;
+    planes[d] = ok ? (off > 0 ? A_LEFT : A_DONE) : -1;
+  }
+  for (int64_t j = 1; j <= tlen; j++) {
+    const int8_t tc = t[j - 1];
+    // pass 1: base (max of diag / linear-del / affine-del-close) + lanes
+    float L0 = NEGF, PM = NEGF;
+    for (int64_t d = 0; d < band; d++) {
+      const int64_t i = j + d - K;
+      const int8_t qc = (i - 1 >= 0 && i - 1 < qlen) ? q[i - 1] : (int8_t)5;
+      const float sub = (qc == tc) ? (float)m : (float)mm;
+      const float shiftS = (d + 1 < band) ? Sp[d + 1] : NEGF;
+      const float shiftD = (d + 1 < band) ? Dp[d + 1] : NEGF;
+      const float dn = std::max(shiftS + fopen, shiftD);
+      Dnew[d] = dn;
+      dopen[d] = (dn == shiftS + fopen) ? DEL_OPEN : 0;
+      sMat[d] = Sp[d] + sub;
+      delLin[d] = shiftS + find;
+      float base = std::max(std::max(sMat[d], delLin[d]), dn);
+      const int64_t off = d - K;
+      const bool ok = (i >= 1 && i <= qlen && off >= -kband && off <= kband);
+      valid[d] = ok;
+      if (!ok) base = NEGF;
+      // ins closures along the row: linear chain + affine (prefix max)
+      L0 = std::max(base, L0 + find);
+      Irow[d] = PM + fopen;          // PM = max(base[0..d-1])
+      PM = std::max(PM, base);
+      const float s = ok ? std::max(L0, Irow[d]) : NEGF;
+      if (!ok) Irow[d] = NEGF;
+      Srow[d] = s;
+    }
+    // pass 2: arrows with the numpy mirror's exact tie order
+    int8_t* arr = &planes[(size_t)j * band];
+    for (int64_t d = 0; d < band; d++) {
+      if (!valid[d]) { arr[d] = -1; Dp[d] = NEGF; Sp[d] = Srow[d]; continue; }
+      const float s = Srow[d];
+      const float s_left = (d > 0) ? Srow[d - 1] : NEGF;
+      int8_t a;
+      if (s == sMat[d]) a = A_DIAG;
+      else if (s == s_left + find) a = A_LEFT;
+      else if (s == delLin[d]) a = A_DOWN;
+      else if (s == Dnew[d]) a = A_DELC;
+      else a = A_INSC;
+      int8_t bits = dopen[d];
+      if (Irow[d] == s_left + fopen) bits |= INS_OPEN;
+      arr[d] = (int8_t)(a | bits);
+      Dp[d] = Dnew[d];
+      Sp[d] = s;
+    }
+  }
+
+  // lane-aware traceback (mirror of affine_kernel.traceback_refine)
+  int64_t i = qlen, j = tlen;
+  int lane = 0;  // 0 main, 1 del, 2 ins
+  std::vector<int8_t> ops;
+  ops.reserve((size_t)(qlen + tlen));
+  while (i >= 0 && j >= 0) {
+    const int64_t d = i - j + K;
+    if (d < 0 || d >= band) break;
+    const int8_t p = planes[(size_t)j * band + d];
+    if (p < 0) break;
+    const int code = p & 7;
+    if (lane == 1 || (lane == 0 && code == A_DELC)) {
+      ops.push_back(A_DOWN);
+      lane = (p & DEL_OPEN) ? 0 : 1;
+      j--;
+    } else if (lane == 2 || (lane == 0 && code == A_INSC)) {
+      ops.push_back(A_LEFT);
+      lane = (p & INS_OPEN) ? 0 : 2;
+      i--;
+    } else if (code == A_DONE) {
+      break;
+    } else if (code == A_DIAG) {
+      ops.push_back(A_DIAG); i--; j--;
+    } else if (code == A_LEFT) {
+      ops.push_back(A_LEFT); i--;
+    } else if (code == A_DOWN) {
+      ops.push_back(A_DOWN); j--;
+    } else {
+      break;
+    }
+  }
+  // ops are end-first; walk them in reverse emitting match-run blocks
+  int64_t nb = 0, qPos = 0, tPos = 0, run = 0;
+  for (int64_t oi = (int64_t)ops.size() - 1; oi >= 0; oi--) {
+    const int8_t op = ops[oi];
+    if (op == A_DIAG) {
+      run++; qPos++; tPos++;
+    } else {
+      if (run) {
+        if (nb >= max_blocks) return -1;
+        blocks_out[nb * 3 + 0] = qPos - run;
+        blocks_out[nb * 3 + 1] = tPos - run;
+        blocks_out[nb * 3 + 2] = run;
+        nb++; run = 0;
+      }
+      if (op == A_LEFT) qPos++; else tPos++;
+    }
+  }
+  if (run) {
+    if (nb >= max_blocks) return -1;
+    blocks_out[nb * 3 + 0] = qPos - run;
+    blocks_out[nb * 3 + 1] = tPos - run;
+    blocks_out[nb * 3 + 2] = run;
+    nb++;
+  }
+  return nb;
+}
+
 }  // extern "C"

@@ -101,6 +101,10 @@ class GapJob:
     # assembly walk's vectorized pre-classification) — skip the per-job
     # re-check (it is pure overhead on tens of thousands of ONT gaps)
     checked: bool = False
+    # refine jobs: job-local (q,t,len) triples of the region's existing
+    # alignment path; drives the shaped-band host DP's per-row windows
+    # (the reference's qS/qE geometry, IndelRefine.h:219-330)
+    path: np.ndarray | None = None
 
 
 def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
@@ -180,7 +184,13 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     # device-regime jobs: group indices per (K class, S class, refine)
     # bucket with one lexsort instead of 20k dict-append iterations
     refine_v = np.fromiter((j.refine for j in jobs), bool, nj)
-    dev_mask = ~resolved & in_regime
+    # indel-refine regions are no longer span-capped at planning time
+    # (reference parity, IndelRefine.h:147-165), so a rare long region
+    # can exceed the S=2048 device bucket; solve those on the host
+    # refine DP (same recurrence) instead of compiling a fresh giant
+    # kernel tier for a near-empty bucket
+    long_refine = refine_v & (mx > 1024)
+    dev_mask = ~resolved & in_regime & ~long_refine
     if not use_device:
         small_mask = dev_mask & (mx <= SMALL_MAX) & ~refine_v
         # host path only: tiny jobs via the batched numpy DP
@@ -243,28 +253,52 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
                                                         int(k_v[i])))
             og_mask[i] = True
 
-    # rare out-of-regime jobs: host fallbacks
-    for i in np.nonzero(~resolved & ~in_regime & ~og_mask)[0].tolist():
+    # rare out-of-regime jobs: host fallbacks.  Deferred into a closure
+    # run AFTER the device buckets are dispatched (dispatch is async, so
+    # the host DP work below overlaps the device round instead of
+    # serializing in front of it).
+    host_idx = np.nonzero(~resolved & (~in_regime | long_refine)
+                          & ~og_mask)[0].tolist()
+
+    def run_host_jobs():
+      for i in host_idx:
         job = jobs[i]
         if job.refine:
-            # out-of-regime refine region (giant drift): host refine DP
+            # long/out-of-regime refine region: native C refine DP
+            # (identical recurrence + tie order).  With a region path,
+            # the shaped-band variant follows it at O(len * 2k+3)
+            # regardless of drift (the reference's own geometry);
+            # otherwise the rectangular band; numpy mirror as fallback
             K1 = int(band_in_v[i])
-            _sc, planes = banded_refine_np(
-                job.q.reshape(1, -1).astype(np.int8),
-                job.t.reshape(1, -1).astype(np.int8),
-                np.array([len(job.q)], np.int32),
-                np.array([len(job.t)], np.int32), K1, opts.local_match,
-                opts.local_mismatch, opts.local_indel,
-                np.array([K1], np.int32))
-            job.blocks = traceback_refine(planes[0], len(job.q),
+            blocks = None
+            if job.path is not None:
+                blocks = native.refine_dp_shaped(
+                    job.q, job.t, job.path, opts.refine_band,
+                    opts.local_match, opts.local_mismatch,
+                    opts.local_indel)
+            if blocks is None:
+                blocks = native.refine_dp(job.q, job.t, K1, K1,
+                                          opts.local_match,
+                                          opts.local_mismatch,
+                                          opts.local_indel)
+            if blocks is None:
+                _sc, planes = banded_refine_np(
+                    job.q.reshape(1, -1).astype(np.int8),
+                    job.t.reshape(1, -1).astype(np.int8),
+                    np.array([len(job.q)], np.int32),
+                    np.array([len(job.t)], np.int32), K1, opts.local_match,
+                    opts.local_mismatch, opts.local_indel,
+                    np.array([K1], np.int32))
+                blocks = traceback_refine(planes[0], len(job.q),
                                           len(job.t), K1)
+            job.blocks = blocks
             continue
         res = affine_one_gap_align(job.q, job.t, opts.local_match,
                                    opts.local_mismatch, opts.local_indel,
                                    int(band_in_v[i]))
         job.blocks = res.blocks
 
-    if small_jobs:
+      if small_jobs:
         blocks = solve_small_jobs(
             [j.q for j, _ in small_jobs], [j.t for j, _ in small_jobs],
             opts.local_match, opts.local_mismatch, opts.local_indel,
@@ -363,6 +397,10 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             [((jump >> s) & 0xFF).astype(jnp.uint8) for s in (0, 8, 16, 24)])
         pending.append(("onegap", items, None, None,
                         (ops_u8, jump_u8, B, L)))
+
+    # every device bucket is now in flight; do the host-side jobs while
+    # the chip works
+    run_host_jobs()
 
     flat_parts = [buf.reshape(-1) for K, _, _, _, buf in pending
                   if K is None]

@@ -183,15 +183,20 @@ def test_golden_ccs_bit_identity(ref_bin, tmp_path):
 
 
 def test_golden_ont_bit_identity(ref_bin, tmp_path):
-    """Round-3 lowacc parity: >= 6/10 5%-error ONT reads bit-identical
-    to the reference in pos+flag+CIGAR+NM, and NV equal-or-better on
-    every shared read.  The level was reached by matching the lowacc
-    reseed geometry exactly (sow=500 read-tail widening + the +-50
-    diagonal band of ChainRefine.h:426-512, true extended-anchor box
-    ends, and the reference's end-space boxes incl. the 500bp far-side
-    expansion, ClusterRefine.h:546-613).  The four known residuals are
-    interior DP tie-order / indel-consolidation-input deltas with NM
-    within 1 and NV equal."""
+    """Round-3 lowacc parity: >= 9/10 5%-error ONT reads bit-identical
+    to the reference in pos+flag+CIGAR+NM (measured 10/10 on this seed;
+    7/10 on seed 7), and NV equal-or-better on every shared read.  The
+    level was reached by matching the lowacc reseed geometry exactly
+    (sow=500 read-tail widening + the +-50 diagonal band of
+    ChainRefine.h:426-512, true extended-anchor box ends, the
+    reference's end-space boxes incl. the 500bp far-side expansion,
+    ClusterRefine.h:546-613) and removing the indel-refine region span
+    cap (the reference groups regions with no length limit,
+    IndelRefine.h:147-165; our former 1kb cap split regions mid-run and
+    lost cross-seam indel consolidations).  Remaining cross-seed
+    residuals trace to the documented minimizer tie-break delta
+    (denser head seeds can flip the <20bp end-box gate) and rare
+    equal-score D-run placement ties."""
     rng = np.random.default_rng(42)
     g = random_genome(rng, 300000)
     reads = _sim_reads(rng, g, 10, 12000, 0.05)
@@ -209,7 +214,7 @@ def test_golden_ont_bit_identity(ref_bin, tmp_path):
         if (opos, oflag, ocig) == (rpos, rflag, rcig) and \
                 otags.get("NM") == rtags.get("NM"):
             ident += 1
-    assert ident >= 6, ident
+    assert ident >= 9, ident
 
 
 def test_golden_ont(ref_bin, tmp_path):
