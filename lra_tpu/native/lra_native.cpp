@@ -1082,20 +1082,35 @@ int64_t lrn_refine_dp_shaped(
   qlo[0] = 0;
   if (qhi[tlen] < qlen) qhi[tlen] = qlen;
 
-  // flat plane storage with per-row offsets
+  // flat plane storage with per-row offsets; scratch is thread-local
+  // (423 calls per ONT batch — per-call malloc+first-touch of up to
+  // ~1MB planes was a measurable share of the host bill)
   std::vector<int64_t> rowoff(tlen + 2);
   rowoff[0] = 0;
   for (int64_t j = 0; j <= tlen; j++)
     rowoff[j + 1] = rowoff[j] + (qhi[j] - qlo[j] + 1);
-  std::vector<int8_t> planes((size_t)rowoff[tlen + 1], -1);
+  static thread_local std::vector<int8_t> planes_tl;
+  if ((int64_t)planes_tl.size() < rowoff[tlen + 1])
+    planes_tl.resize(rowoff[tlen + 1]);
+  std::fill(planes_tl.begin(), planes_tl.begin() + rowoff[tlen + 1], -1);
+  int8_t* const planes = planes_tl.data();
   const int64_t maxw = [&] {
     int64_t w = 0;
     for (int64_t j = 0; j <= tlen; j++)
       if (qhi[j] - qlo[j] + 1 > w) w = qhi[j] - qlo[j] + 1;
     return w;
   }();
-  std::vector<float> Sp(maxw, NEGF), Dp(maxw, NEGF);
-  std::vector<float> Sn(maxw, NEGF), Dn(maxw, NEGF);
+  static thread_local std::vector<float> scr_tl;
+  if ((int64_t)scr_tl.size() < 8 * maxw) scr_tl.resize(8 * maxw);
+  float* Sp = scr_tl.data();
+  float* Dp = Sp + maxw;
+  float* Sn = Dp + maxw;
+  float* Dn = Sn + maxw;
+  float* baseA = Dn + maxw;
+  float* sMatA = baseA + maxw;
+  float* delLinA = sMatA + maxw;
+  float* irowA = delLinA + maxw;
+  std::fill(Sp, Sp + 4 * maxw, NEGF);
 
   // row 0: free left moves from the origin
   {
@@ -1106,7 +1121,6 @@ int64_t lrn_refine_dp_shaped(
     }
   }
   const float fm = (float)m, fmm = (float)mm;
-  std::vector<float> baseA(maxw), sMatA(maxw), delLinA(maxw);
   for (int64_t j = 1; j <= tlen; j++) {
     const int8_t tc = t[j - 1];
     const int64_t lo0 = qlo[j], hi = qhi[j];
@@ -1114,8 +1128,8 @@ int64_t lrn_refine_dp_shaped(
     int8_t* arr = &planes[rowoff[j]];
     // qlo/qhi monotone non-decreasing => lo >= plo, so only the upper
     // bound needs checking on previous-row reads; index by absolute i
-    const float* SpP = Sp.data() - plo;
-    const float* DpP = Dp.data() - plo;
+    const float* SpP = Sp - plo;
+    const float* DpP = Dp - plo;
     float S_left = NEGF;
     float sDiag0 = (lo0 - 1 >= plo && lo0 - 1 <= phi) ? SpP[lo0 - 1] : NEGF;
     int64_t lo = lo0;
@@ -1131,62 +1145,110 @@ int64_t lrn_refine_dp_shaped(
     const int64_t w = hi - lo + 1;
     const int64_t hi_up = hi < phi ? hi : phi;
     const int64_t w_up = hi_up - lo + 1 > 0 ? hi_up - lo + 1 : 0;
-    float* Snr = Sn.data() + xoff;
-    float* Dnr = Dn.data() + xoff;
-    int8_t* arrr = arr + xoff;
-    const float* SpR = SpP + lo;    // sUp for x: SpR[x]
-    const float* DpR = DpP + lo;
-    const int8_t* qR = q + (lo - 1);
-    // pass A (vectorizable): base / lanes from the previous row
-    for (int64_t x = 0; x < w_up; x++) {
+    float* __restrict__ Snr = Sn + xoff;
+    float* __restrict__ Dnr = Dn + xoff;
+    int8_t* __restrict__ arrr = arr + xoff;
+    const float* __restrict__ SpR = SpP + lo;    // sUp for x: SpR[x]
+    const float* __restrict__ DpR = DpP + lo;
+    const int8_t* __restrict__ qR = q + (lo - 1);
+    float* __restrict__ baseR = baseA;
+    float* __restrict__ sMatR = sMatA;
+    float* __restrict__ delLinR = delLinA;
+    float* __restrict__ irowR = irowA;
+    // pass A0: substitution scores (int8 compare isolated in its own
+    // loop — mixed int8/float bodies defeat the autovectorizer)
+    float* __restrict__ subR = irowA;  // irowA free until pass B1
+    for (int64_t x = 0; x < w; x++)
+      subR[x] = (qR[x] == tc) ? fm : fmm;
+    // pass A (vectorized: x=0 peeled so the diagonal read is a plain
+    // shifted load; __restrict__ because all lanes share one scratch
+    // block and gcc otherwise assumes aliasing and stays scalar)
+    if (w_up > 0) {
+      const float sUp0 = SpR[0];
+      const float so0 = sUp0 + fopen;
+      const float dn0 = so0 > DpR[0] ? so0 : DpR[0];
+      const float sMat0 = sDiag0 + subR[0];
+      const float delLin0 = sUp0 + find;
+      float b0 = sMat0 > delLin0 ? sMat0 : delLin0;
+      if (dn0 > b0) b0 = dn0;
+      Dnr[0] = dn0; baseR[0] = b0; sMatR[0] = sMat0; delLinR[0] = delLin0;
+    }
+    for (int64_t x = 1; x < w_up; x++) {
       const float sUp = SpR[x];
       const float so = sUp + fopen;
       const float dn = so > DpR[x] ? so : DpR[x];
-      const float sub = (qR[x] == tc) ? fm : fmm;
-      const float sMat = (x ? SpR[x - 1] : sDiag0) + sub;
+      const float sMat = SpR[x - 1] + subR[x];
       const float delLin = sUp + find;
       float base = sMat > delLin ? sMat : delLin;
       if (dn > base) base = dn;
       Dnr[x] = dn;
-      baseA[x] = base;
-      sMatA[x] = sMat;
-      delLinA[x] = delLin;
+      baseR[x] = base;
+      sMatR[x] = sMat;
+      delLinR[x] = delLin;
     }
     for (int64_t x = w_up; x < w; x++) {   // above the previous window
-      const float sub = (qR[x] == tc) ? fm : fmm;
       const float sMat = (x == w_up && x > 0 ? SpR[x - 1]
-                          : (x == 0 ? sDiag0 : NEGF)) + sub;
+                          : (x == 0 ? sDiag0 : NEGF)) + subR[x];
       const float dn = NEGF + fopen;
       float base = sMat > NEGF + find ? sMat : NEGF + find;
       if (dn > base) base = dn;
       Dnr[x] = dn;
-      baseA[x] = base;
-      sMatA[x] = sMat;
-      delLinA[x] = NEGF + find;
+      baseR[x] = base;
+      sMatR[x] = sMat;
+      delLinR[x] = NEGF + find;
     }
-    // pass B (scalar scans): ins chains + final S + arrows, branchless
-    // (reverse-priority cmov chain; data-dependent branches mispredict)
+    // pass B1 (scalar, minimal carried work): the two running maxima
+    // (linear-ins chain L0, open-lane prefix max PM) and the final S
     float L0 = NEGF, PM = NEGF;
     for (int64_t x = 0; x < w; x++) {
-      const float base = baseA[x];
+      const float base = baseR[x];
       const float l0e = L0 + find;
       L0 = base > l0e ? base : l0e;
       const float irow = PM + fopen;
       PM = base > PM ? base : PM;
-      const float s = L0 > irow ? L0 : irow;
-      Snr[x] = s;
-      const float sl_lin = S_left + find;
-      const float sl_open = S_left + fopen;
+      irowR[x] = irow;
+      Snr[x] = L0 > irow ? L0 : irow;
+    }
+    // pass C (vectorizable, no carried deps): branchless arrow
+    // selection (reverse-priority cmov chain; data-dependent branches
+    // mispredict) — S_left is just Snr[x-1]; split at w_up so the
+    // previous-row read needs no mask; x=0 peeled
+    if (w > 0) {
+      const float s0 = Snr[0];
+      int a0 = A_INSC;
+      a0 = (s0 == Dnr[0]) ? A_DELC : a0;
+      a0 = (s0 == delLinR[0]) ? A_DOWN : a0;
+      a0 = (s0 == S_left + find) ? A_LEFT : a0;
+      a0 = (s0 == sMatR[0]) ? A_DIAG : a0;
+      const float sup0 = 0 < w_up ? SpR[0] : NEGF;
+      a0 |= (Dnr[0] == sup0 + fopen) ? DEL_OPEN : 0;
+      a0 |= (irowR[0] == S_left + fopen) ? INS_OPEN : 0;
+      arrr[0] = (int8_t)a0;
+    }
+    const int64_t wu1 = w_up < w ? w_up : w;
+    for (int64_t x = 1; x < wu1; x++) {
+      const float s = Snr[x];
+      const float sl = Snr[x - 1];
       int a = A_INSC;
       a = (s == Dnr[x]) ? A_DELC : a;
-      a = (s == delLinA[x]) ? A_DOWN : a;
-      a = (s == sl_lin) ? A_LEFT : a;
-      a = (s == sMatA[x]) ? A_DIAG : a;
-      const float sup = x < w_up ? SpR[x] : NEGF;
-      a |= (Dnr[x] == sup + fopen) ? DEL_OPEN : 0;
-      a |= (irow == sl_open) ? INS_OPEN : 0;
+      a = (s == delLinR[x]) ? A_DOWN : a;
+      a = (s == sl + find) ? A_LEFT : a;
+      a = (s == sMatR[x]) ? A_DIAG : a;
+      a |= (Dnr[x] == SpR[x] + fopen) ? DEL_OPEN : 0;
+      a |= (irowR[x] == sl + fopen) ? INS_OPEN : 0;
       arrr[x] = (int8_t)a;
-      S_left = s;
+    }
+    for (int64_t x = wu1 > 1 ? wu1 : 1; x < w; x++) {
+      const float s = Snr[x];
+      const float sl = Snr[x - 1];
+      int a = A_INSC;
+      a = (s == Dnr[x]) ? A_DELC : a;
+      a = (s == delLinR[x]) ? A_DOWN : a;
+      a = (s == sl + find) ? A_LEFT : a;
+      a = (s == sMatR[x]) ? A_DIAG : a;
+      a |= (Dnr[x] == NEGF + fopen) ? DEL_OPEN : 0;
+      a |= (irowR[x] == sl + fopen) ? INS_OPEN : 0;
+      arrr[x] = (int8_t)a;
     }
     std::swap(Sp, Sn);
     std::swap(Dp, Dn);

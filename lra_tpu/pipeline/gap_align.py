@@ -185,11 +185,15 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     # bucket with one lexsort instead of 20k dict-append iterations
     refine_v = np.fromiter((j.refine for j in jobs), bool, nj)
     # indel-refine regions are no longer span-capped at planning time
-    # (reference parity, IndelRefine.h:147-165), so a rare long region
-    # can exceed the S=2048 device bucket; solve those on the host
-    # refine DP (same recurrence) instead of compiling a fresh giant
-    # kernel tier for a near-empty bucket
-    long_refine = refine_v & (mx > 1024)
+    # (reference parity, IndelRefine.h:147-165), so regions can exceed
+    # the static size tiers.  Measured split on the tunneled v5e (ONT
+    # 128x12kb warm solo): device tiers win through S=4096 (76.4 r/s),
+    # but the sequential scan's latency makes S>=8192 tiers a net loss
+    # (51.8 r/s at 8192, 52.5 at 16384) — those regions solve on the
+    # host shaped-band refine DP (same recurrence, the reference's own
+    # band geometry), overlapped with the device round via the deferred
+    # run_host_jobs closure
+    long_refine = refine_v & (mx > 4096)
     dev_mask = ~resolved & in_regime & ~long_refine
     if not use_device:
         small_mask = dev_mask & (mx <= SMALL_MAX) & ~refine_v
