@@ -130,11 +130,14 @@ def cmd_index(argv, which: str = "index") -> int:
     parser.add_argument("--CalculateMinimizerStats", action="store_true",
                         help="report distinct/unique minimizer stats "
                              "(reference: MMIndex.h:46-67)")
+    parser.add_argument("-t", "--threads", type=int, default=1,
+                        help="parallel per-chromosome index build "
+                             "(output identical at any thread count)")
     args = parser.parse_args(rest)
     genome = Genome.from_fasta(args.ref)
     if which in ("index", "global"):
         t0 = time.time()
-        gi = build_global_index(genome, opts)
+        gi = build_global_index(genome, opts, threads=args.threads)
         gi.save(args.ref + ".gdx")
         print(f"global index: {len(gi)} minimizers (k={gi.k}) "
               f"in {time.time()-t0:.1f}s -> {args.ref}.gdx", file=sys.stderr)
@@ -148,7 +151,8 @@ def cmd_index(argv, which: str = "index") -> int:
         li = build_genome_local_index(genome, k=min(opts.local_k, 10),
                                       w=opts.local_w,
                                       window=opts.local_index_window,
-                                      max_freq=opts.local_max_freq)
+                                      max_freq=opts.local_max_freq,
+                                      threads=args.threads)
         li.save(args.ref + ".ldx")
         print(f"local index: {len(li.tuples)} minimizers in "
               f"{time.time()-t0:.1f}s -> {args.ref}.ldx", file=sys.stderr)

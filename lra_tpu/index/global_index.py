@@ -66,17 +66,29 @@ class GlobalIndex:
                 "avg_freq": float(n / distinct)}
 
 
-def build_global_index(genome: Genome, opts: Options) -> GlobalIndex:
+def build_global_index(genome: Genome, opts: Options,
+                       threads: int = 1) -> GlobalIndex:
     k, w = opts.global_k, opts.global_w
-    tuples_l, pos_l, strand_l = [], [], []
-    start = 0
-    for ci in range(genome.nseq):
+
+    def _one(ci: int):
+        start = 0 if ci == 0 else int(genome.ends[ci - 1])
         end = int(genome.ends[ci])
         t, p, s = minimizers(genome.codes[start:end], k, w, canonical=True)
-        tuples_l.append(t)
-        pos_l.append(p.astype(np.int64) + start)
-        strand_l.append(s)
-        start = end
+        return t, p.astype(np.int64) + start, s
+
+    # per-chromosome extraction is independent; the native extractor is a
+    # ctypes call (GIL released), so threads give real parallel build on
+    # multi-core hosts.  Results are collected in chromosome order, so the
+    # built index is identical at any thread count (test_minimizers).
+    if threads > 1 and genome.nseq > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            parts = list(ex.map(_one, range(genome.nseq)))
+    else:
+        parts = [_one(ci) for ci in range(genome.nseq)]
+    tuples_l = [p[0] for p in parts]
+    pos_l = [p[1] for p in parts]
+    strand_l = [p[2] for p in parts]
     tuples = (np.concatenate(tuples_l) if tuples_l else np.zeros(0, np.uint64))
     if len(tuples) == 0:
         return GlobalIndex(k, np.zeros(0, np.uint64), np.zeros(0, np.uint32),

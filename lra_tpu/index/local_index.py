@@ -109,16 +109,27 @@ def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
 
 
 def build_genome_local_index(genome, k: int = 10, w: int = 5,
-                             window: int = 256, max_freq: int = 15
-                             ) -> LocalIndex:
-    """Concatenated per-chromosome local index in global coordinates."""
-    parts = []
-    start = 0
-    for ci in range(genome.nseq):
+                             window: int = 256, max_freq: int = 15,
+                             threads: int = 1) -> LocalIndex:
+    """Concatenated per-chromosome local index in global coordinates.
+
+    threads > 1 builds chromosomes in parallel (the native builder is a
+    ctypes call, GIL released); collection order is chromosome order, so
+    the result is identical at any thread count.
+    """
+
+    def _one(ci: int):
+        start = 0 if ci == 0 else int(genome.ends[ci - 1])
         end = int(genome.ends[ci])
-        parts.append(build_local_index(genome.codes[start:end], k, w,
-                                       window, max_freq, offset=start))
-        start = end
+        return build_local_index(genome.codes[start:end], k, w,
+                                 window, max_freq, offset=start)
+
+    if threads > 1 and genome.nseq > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            parts = list(ex.map(_one, range(genome.nseq)))
+    else:
+        parts = [_one(ci) for ci in range(genome.nseq)]
     if not parts:
         return build_local_index(np.zeros(0, np.uint8), k, w, window,
                                  max_freq)

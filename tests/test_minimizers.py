@@ -99,3 +99,26 @@ def test_sliding_min_leftmost(rng):
             window = vals[j:j + w]
             assert mv[j] == window.min()
             assert mp[j] == j + int(np.argmin(window))
+
+
+def test_parallel_index_build_identical(rng):
+    """threads=N builds a bit-identical index to threads=1 (cli -t for
+    `lra_tpu index`; extraction is per-chromosome, collected in order)."""
+    from lra_tpu import preset
+    from lra_tpu.index.global_index import build_global_index
+    from lra_tpu.index.local_index import build_genome_local_index
+    from lra_tpu.io.genome import Genome
+
+    seqs = [(f"chr{i}", rng.integers(0, 4, size=20000 + 777 * i)
+             .astype(np.uint8)) for i in range(5)]
+    genome = Genome.from_seqs([(n, sequtils.decode(c)) for n, c in seqs])
+    opts = preset("ccs")
+    g1 = build_global_index(genome, opts, threads=1)
+    g4 = build_global_index(genome, opts, threads=4)
+    assert np.array_equal(g1.tuples, g4.tuples)
+    assert np.array_equal(g1.pos, g4.pos)
+    assert np.array_equal(g1.strand, g4.strand)
+    l1 = build_genome_local_index(genome, threads=1)
+    l4 = build_genome_local_index(genome, threads=4)
+    for f in ("tuples", "pos", "seq_offsets", "tuple_bounds"):
+        assert np.array_equal(getattr(l1, f), getattr(l4, f)), f
