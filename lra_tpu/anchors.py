@@ -103,7 +103,9 @@ def find_matches_batch(reads_codes: list, index: GlobalIndex,
     with identical semantics to find_matches — the multiplicity cap is
     per read (run boundaries include the read id)."""
     k, w = index.k, opts.global_w
-    per_read = [minimizers(c, k, w, canonical=True) for c in reads_codes]
+    per_read = [minimizers(c, k, w, canonical=True,
+                           exact=opts.exact_ref_minimizers)
+                for c in reads_codes]
     n = len(per_read)
     counts = np.fromiter((len(t) for (t, _, _) in per_read), np.int64, n)
     if counts.sum() == 0:

@@ -73,7 +73,8 @@ def build_global_index(genome: Genome, opts: Options,
     def _one(ci: int):
         start = 0 if ci == 0 else int(genome.ends[ci - 1])
         end = int(genome.ends[ci])
-        t, p, s = minimizers(genome.codes[start:end], k, w, canonical=True)
+        t, p, s = minimizers(genome.codes[start:end], k, w, canonical=True,
+                             exact=opts.exact_ref_minimizers)
         return t, p.astype(np.int64) + start, s
 
     # per-chromosome extraction is independent; the native extractor is a

@@ -58,11 +58,14 @@ class LocalIndex:
 
 def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
                       window: int = 256, max_freq: int = 15,
-                      offset: int = 0) -> LocalIndex:
+                      offset: int = 0, exact: bool = True) -> LocalIndex:
     """Index one sequence (a chromosome or a read).
 
     ``offset`` shifts seq_offsets into a global coordinate space so
     chromosome indexes can be concatenated (reference: IndexSeq offset).
+    ``exact`` selects the reference streaming minimizer semantics
+    (MinCount.h; see index/minimizers.py) — genome- and read-side local
+    indexes must use the same setting.
     """
     n = len(codes)
     nwin = (n + window - 1) // window
@@ -70,7 +73,7 @@ def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
     from .. import native
     if native.available():
         tup, pos, bounds = native.local_index_build(codes, k, w, window,
-                                                    max_freq)
+                                                    max_freq, exact)
         seq_offsets = offset + np.minimum(
             np.arange(nwin + 1, dtype=np.int64) * window, n)
         return LocalIndex(k, w, window, max_freq, tup, pos, seq_offsets,
@@ -83,7 +86,7 @@ def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
     for i in range(nwin):
         s = i * window
         e = min(n, s + window)
-        t, p, _ = minimizers(codes[s:e], k, w, canonical=False)
+        t, p, _ = minimizers(codes[s:e], k, w, canonical=False, exact=exact)
         if len(t):
             order = np.argsort(t, kind="stable")
             t, p = t[order], p[order]

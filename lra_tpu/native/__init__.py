@@ -17,6 +17,12 @@ import numpy as np
 _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "liblra_native.so")
 _lib = None
+_load_lock = threading.Lock()
+
+# Bumped whenever an existing exported C signature changes; _bind refuses
+# a .so reporting a different version (a stale prebuilt library with no
+# working compiler would otherwise be called through mismatched argtypes).
+_ABI_VERSION = 5
 
 
 def _try_build() -> None:
@@ -31,28 +37,39 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    # always invoke make: a no-op when fresh, a rebuild when the source
-    # is newer than a stale .so
-    _try_build()
-    if not os.path.exists(_SO):
-        _lib = False
-        return _lib
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
-        _lib = False
-        return _lib
-    try:
-        return _bind(lib)
-    except AttributeError:
-        # stale prebuilt .so missing newer symbols and no working
-        # compiler to rebuild: honor the pure-python fallback contract
-        _lib = False
-        return _lib
+    # serialize first-touch: concurrent pool threads (threaded index
+    # build, stream workers) must not race a parallel `make` on the same
+    # .so or CDLL a partially written library
+    with _load_lock:
+        if _lib is not None:
+            return _lib
+        # always invoke make: a no-op when fresh, a rebuild when the
+        # source is newer than a stale .so
+        _try_build()
+        if not os.path.exists(_SO):
+            _lib = False
+            return _lib
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _lib = False
+            return _lib
+        try:
+            return _bind(lib)
+        except AttributeError:
+            # stale prebuilt .so missing newer symbols and no working
+            # compiler to rebuild: honor the pure-python fallback contract
+            _lib = False
+            return _lib
 
 
 def _bind(lib):
     global _lib
+    lib.lrn_abi_version.restype = ctypes.c_int
+    lib.lrn_abi_version.argtypes = []
+    if lib.lrn_abi_version() != _ABI_VERSION:
+        _lib = False
+        return _lib
     lib.lrn_load_seqs.restype = ctypes.c_int
     lib.lrn_load_seqs.argtypes = [
         ctypes.c_char_p,
@@ -69,6 +86,8 @@ def _bind(lib):
         ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.lrn_minimizers_ref.restype = ctypes.c_int64
+    lib.lrn_minimizers_ref.argtypes = lib.lrn_minimizers.argtypes
     lib.lrn_linear_extend.restype = ctypes.c_int64
     lib.lrn_linear_extend.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,
@@ -84,7 +103,7 @@ def _bind(lib):
     lib.lrn_local_index_build.restype = ctypes.c_int64
     lib.lrn_local_index_build.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
     lib.lrn_match_batch.restype = ctypes.c_int64
@@ -103,7 +122,8 @@ def _bind(lib):
     lib.lrn_local_reseed.argtypes = (
         [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 3
         + [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 4
-        + [ctypes.c_void_p] * 2 + [ctypes.c_int64] * 7
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int64, ctypes.c_int]
+        + [ctypes.c_int64] * 6
         + [ctypes.c_void_p] * 2 + [ctypes.c_int64]
     )
     lib.lrn_banded_align.restype = ctypes.c_int32
@@ -366,8 +386,11 @@ def load_seqs(path: str, want_quals: bool = False):
     return names, offsets, codes, quals
 
 
-def minimizers(codes: np.ndarray, k: int, w: int, canonical: bool = True):
-    """Native minimizer extraction; None if unavailable."""
+def minimizers(codes: np.ndarray, k: int, w: int, canonical: bool = True,
+               exact: bool = True):
+    """Native minimizer extraction; None if unavailable.  exact=True uses
+    the reference's streaming emission semantics (lrn_minimizers_ref),
+    exact=False the leftmost-tie-break windowed-minimum rule."""
     lib = _load()
     if not lib:
         return None
@@ -376,7 +399,8 @@ def minimizers(codes: np.ndarray, k: int, w: int, canonical: bool = True):
     tup = np.empty(cap, np.uint64)
     pos = np.empty(cap, np.uint32)
     strand = np.empty(cap, np.uint8)
-    n = lib.lrn_minimizers(
+    fn = lib.lrn_minimizers_ref if exact else lib.lrn_minimizers
+    n = fn(
         codes.ctypes.data_as(ctypes.c_void_p), len(codes), k, w,
         1 if canonical else 0,
         tup.ctypes.data_as(ctypes.c_void_p),
@@ -427,7 +451,7 @@ def linear_extend(read: np.ndarray, chrom: np.ndarray, q: np.ndarray,
 
 
 def local_index_build(codes: np.ndarray, k: int, w: int, window: int,
-                      max_freq: int):
+                      max_freq: int, exact: bool = True):
     """Native per-window local index build; None if unavailable.
     Returns (tuples u64, pos u32, tuple_bounds i64[nwin+1])."""
     lib = _load()
@@ -442,6 +466,7 @@ def local_index_build(codes: np.ndarray, k: int, w: int, window: int,
     bounds = np.empty(nwin + 1, np.int64)
     total = lib.lrn_local_index_build(
         codes.ctypes.data_as(ctypes.c_void_p), n, k, w, window, max_freq,
+        1 if exact else 0,
         tup.ctypes.data_as(ctypes.c_void_p),
         pos.ctypes.data_as(ctypes.c_void_p),
         bounds.ctypes.data_as(ctypes.c_void_p), cap)
@@ -453,15 +478,19 @@ def local_index_build(codes: np.ndarray, k: int, w: int, window: int,
 def local_reseed(genome_li, rli, ls: int, le: int, chrom_off: int,
                  read_len: int, max_freq: int, margin: int,
                  t_sorted: np.ndarray, q_by_t: np.ndarray,
+                 qend_by_t: np.ndarray, lowacc_walk: bool,
                  min_dn: int, max_dn: int, qlo: int, qhi: int,
                  tlo: int, thi: int):
     """Native per-cluster local-index reseeding walk; None if unavailable.
-    Returns (qpos i64, tpos i64)."""
+    lowacc_walk selects the Refine_splitchain per-window read range
+    (strict window bounds, min qStart / max qEnd over the range) vs the
+    REFINEclusters endpoint rule.  Returns (qpos i64, tpos i64)."""
     lib = _load()
     if not lib:
         return None
     t_sorted = np.ascontiguousarray(t_sorted, np.int64)
     q_by_t = np.ascontiguousarray(q_by_t, np.int64)
+    qend_by_t = np.ascontiguousarray(qend_by_t, np.int64)
     cap = 1 << 14
     while True:
         oq = np.empty(cap, np.int64)
@@ -479,7 +508,9 @@ def local_reseed(genome_li, rli, ls: int, le: int, chrom_off: int,
             rli.nwindows(),
             read_len, max_freq, margin,
             t_sorted.ctypes.data_as(ctypes.c_void_p),
-            q_by_t.ctypes.data_as(ctypes.c_void_p), len(t_sorted),
+            q_by_t.ctypes.data_as(ctypes.c_void_p),
+            qend_by_t.ctypes.data_as(ctypes.c_void_p), len(t_sorted),
+            1 if lowacc_walk else 0,
             min_dn, max_dn, qlo, qhi, tlo, thi,
             oq.ctypes.data_as(ctypes.c_void_p),
             ot.ctypes.data_as(ctypes.c_void_p), cap)

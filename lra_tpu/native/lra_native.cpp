@@ -115,6 +115,11 @@ struct SeqStream {
 
 extern "C" {
 
+// Must match lra_tpu/native/__init__.py:_ABI_VERSION; bump both whenever
+// an existing exported signature changes so a stale prebuilt .so can
+// never be called through mismatched argtypes.
+int lrn_abi_version() { return 5; }
+
 // Two-call protocol. First call with codes=nullptr fills *total_len,
 // *n_seqs, *names_len. Second call fills buffers.
 // offsets: int64[n_seqs+1] cumulative code offsets.
@@ -233,6 +238,116 @@ int64_t lrn_minimizers(const uint8_t* codes, int64_t len, int k, int w,
   return count;
 }
 
+// Exact-reference minimizer extraction (reference: MinCount.h:8-179
+// StoreMinimizers / MinCount.h:182-338 StoreMinimizers_noncanonical).
+// Unlike lrn_minimizers' leftmost rule, the reference's streaming machine
+// has three observable quirks this routine reproduces bit-for-bit:
+//   1. emission is change-driven: one occurrence per *change* of the
+//      active minimizer (strict-less on slide keeps the older occurrence;
+//      in a run of equal tuples only ~1 per w is emitted, not every
+//      position);
+//   2. on expiry the active is recomputed by scanning the circular buffer
+//      from slot 0 with strict less (MinCount.h:148-154), so ties go to
+//      the smallest position mod w;
+//   3. the first window's comparison is UNMASKED (MinCount.h:91), so
+//      reverse-strand canonical k-mers carry the strand MSB and lose to
+//      any forward k-mer.
+// Validity gating over N runs follows the reference's tracked-end pointer
+// (MinCount.h:23-41,109-132), including its two edge quirks: a window
+// placement flush with the sequence end is never found by the re-search
+// (the scan stops at len - span - 1), and a failed re-search stops
+// extraction entirely.  N bases pack as A (SeqUtils.h:7 seqMap) but are
+// tracked separately for validity (seqMapN).
+// Returns count, or -1 if cap too small.
+int64_t lrn_minimizers_ref(const uint8_t* codes, int64_t len, int k, int w,
+                           int canonical,
+                           uint64_t* out_tuple, uint32_t* out_pos,
+                           uint8_t* out_strand, int64_t cap) {
+  const int64_t span = static_cast<int64_t>(w) + k - 1;
+  if (len < k || len < span) return 0;
+  const int64_t nk = len - k + 1;
+  const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  // one rolling pass: masked canonical value + strand per k-mer start
+  std::vector<uint64_t> mv(nk);
+  std::vector<uint8_t> str(nk);
+  {
+    uint64_t fwd = 0, rc = 0;
+    const int shift_rc = 2 * (k - 1);
+    for (int64_t i = 0; i < len; i++) {
+      uint8_t c = codes[i];
+      uint8_t b = (c >= 4) ? 0 : c;
+      fwd = ((fwd << 2) | b) & mask;
+      rc = (rc >> 2) | (static_cast<uint64_t>(3 - b) << shift_rc);
+      if (i >= k - 1) {
+        int64_t p = i - k + 1;
+        if (canonical && rc < fwd) { mv[p] = rc; str[p] = 1; }
+        else { mv[p] = fwd; str[p] = 0; }
+      }
+    }
+  }
+  // validity tracker: vend is the reference's nextValidWindowEnd; the
+  // window of k-mers ending at p may emit iff vend == p + k.
+  int64_t vend = -1;
+  auto research = [&](int64_t from) -> bool {
+    int64_t clean = 0;
+    for (int64_t i = from; i < len; i++) {
+      if (codes[i] < 4) clean++; else clean = 0;
+      if (clean >= span && (i - span + 1) < len - span) {
+        vend = i + 1;
+        return true;
+      }
+    }
+    return false;
+  };
+  if (!research(0)) return 0;
+
+  // first window [0, w): leftmost strict-min by UNMASKED value
+  const uint64_t msb = 1ull << 63;
+  int64_t active = 0;
+  std::vector<int64_t> ring(w);
+  ring[0] = 0;
+  uint64_t abest = mv[0] | (str[0] ? msb : 0);
+  for (int64_t p = 1; p < w; p++) {
+    ring[p % w] = p;
+    uint64_t v = mv[p] | (str[p] ? msb : 0);
+    if (v < abest) { abest = v; active = p; }
+  }
+  int64_t count = 0;
+  auto emit = [&](int64_t p) -> bool {
+    if (count >= cap) return false;
+    out_tuple[count] = mv[p];
+    out_pos[count] = static_cast<uint32_t>(p);
+    out_strand[count] = str[p];
+    count++;
+    return true;
+  };
+  if (vend == span && !emit(active)) return -1;
+
+  for (int64_t p = w; p < nk; p++) {
+    const int64_t b = p + k - 1;  // newest base of this window
+    if (vend == b) {
+      if (codes[b] < 4) {
+        vend++;
+      } else if (!research(p + k)) {
+        return count;  // the reference returns mid-scan
+      }
+    }
+    ring[p % w] = p;
+    if (active <= p - w) {
+      // expired: rescan the ring from slot 0 with strict less
+      int64_t best = ring[0];
+      for (int j = 1; j < w; j++)
+        if (mv[ring[j]] < mv[best]) best = ring[j];
+      active = best;
+      if (vend == p + k && !emit(active)) return -1;
+    } else if (mv[p] < mv[active]) {
+      active = p;
+      if (vend == p + k && !emit(active)) return -1;
+    }
+  }
+  return count;
+}
+
 // Stable counting argsort for small-range int32 keys (frequency ranks in
 // the per-window thinning, MMIndex.h:358-376).  Falls back to -1 if the
 // range exceeds `max_range` so the caller can use numpy.
@@ -262,6 +377,7 @@ int lrn_counting_argsort_i32(const int32_t* keys, int64_t n,
 // Returns total rows or -1 if cap exceeded.
 int64_t lrn_local_index_build(const uint8_t* codes, int64_t len,
                               int k, int w, int window, int max_freq,
+                              int exact,
                               uint64_t* out_tuples, uint32_t* out_pos,
                               int64_t* out_bounds, int64_t cap) {
   const int64_t nwin = (len + window - 1) / window;
@@ -274,9 +390,11 @@ int64_t lrn_local_index_build(const uint8_t* codes, int64_t len,
   for (int64_t wi = 0; wi < nwin; wi++) {
     const int64_t s = wi * window;
     const int64_t e = std::min(len, s + window);
-    const int64_t n = lrn_minimizers(codes + s, e - s, k, w, 0,
-                                     tup.data(), pos.data(), str.data(),
-                                     window + 1);
+    const int64_t n =
+        exact ? lrn_minimizers_ref(codes + s, e - s, k, w, 0, tup.data(),
+                                   pos.data(), str.data(), window + 1)
+              : lrn_minimizers(codes + s, e - s, k, w, 0, tup.data(),
+                               pos.data(), str.data(), window + 1);
     if (n < 0) return -1;
     idx.resize(n);
     for (int64_t i = 0; i < n; i++) idx[i] = static_cast<int32_t>(i);
@@ -314,7 +432,8 @@ int64_t lrn_local_reseed(
     const uint64_t* r_tuples, const uint32_t* r_pos,
     const int64_t* r_seqoff, const int64_t* r_bounds, int64_t r_nwin,
     int64_t read_len, int64_t max_freq, int64_t margin,
-    const int64_t* t_sorted, const int64_t* q_by_t, int64_t n_anchor,
+    const int64_t* t_sorted, const int64_t* q_by_t,
+    const int64_t* qend_by_t, int64_t n_anchor, int lowacc_walk,
     int64_t min_dn, int64_t max_dn, int64_t qlo, int64_t qhi,
     int64_t tlo, int64_t thi,
     int64_t* out_q, int64_t* out_t, int64_t cap) {
@@ -330,15 +449,37 @@ int64_t lrn_local_reseed(
     const int64_t g_lo = g_seqoff[lsi] - chrom_off;
     const int64_t g_hi = g_seqoff[lsi + 1] - 1 - chrom_off;
     if (g_lo >= g_hi || g_lo < 0) continue;
-    int64_t m_s = std::lower_bound(t_sorted, t_sorted + n_anchor, g_lo)
-        - t_sorted;
-    int64_t m_e = std::upper_bound(t_sorted, t_sorted + n_anchor, g_hi)
-        - t_sorted;
-    if (m_s >= n_anchor) continue;
-    m_e = std::min(m_e, n_anchor - 1);
-    int64_t r_lo = q_by_t[m_s];
-    int64_t r_hi = q_by_t[m_e];
-    if (r_lo > r_hi) std::swap(r_lo, r_hi);
+    int64_t r_lo, r_hi;
+    if (lowacc_walk) {
+      // Refine_splitchain walk (reference: ChainRefine.h:463-485):
+      // anchors with tStart strictly inside (g_lo, g_hi); per-window
+      // read range = [min qStart, max qEnd] over that range — the qEnd
+      // side is what reaches the read-tail index window when the
+      // outermost anchor starts in the previous one
+      int64_t m_s = std::upper_bound(t_sorted, t_sorted + n_anchor, g_lo)
+          - t_sorted;
+      int64_t m_e = std::lower_bound(t_sorted + m_s, t_sorted + n_anchor,
+                                     g_hi) - t_sorted;
+      if (m_s >= n_anchor || m_e == m_s) continue;
+      r_lo = q_by_t[m_s];
+      r_hi = qend_by_t[m_s];
+      for (int64_t mi = m_s + 1; mi < m_e; mi++) {
+        r_lo = std::min(r_lo, q_by_t[mi]);
+        r_hi = std::max(r_hi, qend_by_t[mi]);
+      }
+    } else {
+      // REFINEclusters walk (reference: ClusterRefine.h:142-158):
+      // inclusive bounds, endpoint anchors' q starts only
+      int64_t m_s = std::lower_bound(t_sorted, t_sorted + n_anchor, g_lo)
+          - t_sorted;
+      int64_t m_e = std::upper_bound(t_sorted, t_sorted + n_anchor, g_hi)
+          - t_sorted;
+      if (m_s >= n_anchor) continue;
+      m_e = std::min(m_e, n_anchor - 1);
+      r_lo = q_by_t[m_s];
+      r_hi = q_by_t[m_e];
+      if (r_lo > r_hi) std::swap(r_lo, r_hi);
+    }
     if (lsi == ls) r_lo = std::max<int64_t>(0, r_lo - margin);
     if (lsi == le) r_hi = std::min(read_len, r_hi + margin);
     if (r_lo > r_hi) continue;

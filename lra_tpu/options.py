@@ -34,6 +34,10 @@ class Options:
     global_winsize: int = 16          # per-window thinning window (bp)
     num_minimizers_per_window: int = 5
     local_index_window: int = 256
+    # reference streaming-emission minimizer semantics (MinCount.h:8-179:
+    # change-driven emission, keep-older slide ties, circular-buffer
+    # expiry recompute); False = leftmost windowed-argmin rule
+    exact_ref_minimizers: bool = True
 
     # --- cleaning / clustering (Options.h:148-158,219-229) ---
     max_diag: int = 500
@@ -101,6 +105,12 @@ class Options:
     refine_end: bool = False
     limit_refine: bool = True
     btn_subclusters_window: int = 800
+    # indel-refine device-routing cutoff: refine regions with max side
+    # length above this solve on the host shaped-band DP instead of the
+    # device size tiers (measured split on the tunneled v5e — see
+    # pipeline/gap_align.py; re-tune per deployment with
+    # `-x refine_dev_max=N` where dispatch latency differs)
+    refine_dev_max: int = 4096
 
     # --- output (Options.h:27-29,120-122) ---
     read_type: ReadType = ReadType.ONT

@@ -388,7 +388,8 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                 refined = refine_clusters(cls, genome, genome_li,
                                           st.codes, st.rc, opts,
                                           read_li=st._read_li,
-                                          end_margin=500, diag_margin=50)
+                                          end_margin=500, diag_margin=50,
+                                          lowacc_walk=True)
                 seg_clusters = [
                     (r if len(r) else c, ty)
                     for r, (c, ty) in zip(refined, seg_clusters)]

@@ -30,7 +30,8 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
                     read_codes: np.ndarray, read_rc: np.ndarray,
                     opts: Options, window: int = 100,
                     read_li=None, end_margin: int | None = None,
-                    diag_margin: int = 100) -> list:
+                    diag_margin: int = 100,
+                    lowacc_walk: bool = False) -> list:
     """Reseed each cluster with local-index matches inside its diagonal
     band.  Returns new clusters (k = genome_li.k anchors, chrom-local t).
     Input clusters must already be chrom-local.
@@ -43,7 +44,15 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
       enough for the final chain to reach the read ends.  None = window.
     diag_margin: diagonal band around the cluster's [minDN, maxDN] —
       100 highacc (ClusterRefine.h:96-97), 50 lowacc
-      (ChainRefine.h:426-427)."""
+      (ChainRefine.h:426-427).
+    lowacc_walk: per-genome-window read range semantics.  False = the
+      REFINEclusters endpoint rule (inclusive window bounds, the two
+      endpoint anchors' q starts, ClusterRefine.h:142-158).  True = the
+      Refine_splitchain rule (strict window bounds, min qStart / max
+      qEnd over the range, ChainRefine.h:463-485) — the qEnd side is
+      what reaches the read-tail local-index window when the outermost
+      anchor merely STARTS in the previous one, seeding the final few
+      read bases."""
     read_len = len(read_codes)
     k = genome_li.k
     if end_margin is None:
@@ -102,12 +111,17 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
         order_t = np.argsort(t, kind="stable")
         t_sorted = t[order_t]
         q_by_t = q[order_t]
+        if c.lengths is not None:
+            qend_by_t = q_by_t + c.lengths[order_t]
+        else:
+            qend_by_t = q_by_t + c.k
 
         from .. import native
         if native.available():
             qq, tt = native.local_reseed(
                 genome_li, rli, ls, le, chrom_off, read_len,
                 opts.local_max_freq, end_margin, t_sorted, q_by_t,
+                qend_by_t, lowacc_walk,
                 min_dn, max_dn, qlo, qhi, tlo, thi)
             if len(qq):
                 if c.strand == 1:
@@ -124,14 +138,22 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
             g_hi = int(genome_li.seq_offsets[lsi + 1]) - 1 - chrom_off
             if g_lo >= g_hi or g_lo < 0:
                 continue
-            m_s = int(np.searchsorted(t_sorted, g_lo, side="left"))
-            m_e = int(np.searchsorted(t_sorted, g_hi, side="right"))
-            if m_s >= len(t_sorted):
-                continue
-            m_e = min(m_e, len(t_sorted) - 1)
-            r_lo = int(q_by_t[m_s])
-            r_hi = int(q_by_t[m_e])
-            r_lo, r_hi = min(r_lo, r_hi), max(r_lo, r_hi)
+            if lowacc_walk:
+                m_s = int(np.searchsorted(t_sorted, g_lo, side="right"))
+                m_e = int(np.searchsorted(t_sorted, g_hi, side="left"))
+                if m_s >= len(t_sorted) or m_e == m_s:
+                    continue
+                r_lo = int(q_by_t[m_s:m_e].min())
+                r_hi = int(qend_by_t[m_s:m_e].max())
+            else:
+                m_s = int(np.searchsorted(t_sorted, g_lo, side="left"))
+                m_e = int(np.searchsorted(t_sorted, g_hi, side="right"))
+                if m_s >= len(t_sorted):
+                    continue
+                m_e = min(m_e, len(t_sorted) - 1)
+                r_lo = int(q_by_t[m_s])
+                r_hi = int(q_by_t[m_e])
+                r_lo, r_hi = min(r_lo, r_hi), max(r_lo, r_hi)
             if lsi == ls:
                 r_lo = max(0, r_lo - end_margin)
             if lsi == le:
@@ -217,8 +239,10 @@ def refine_space(K: int, W: int, diag_band: int, genome, chrom_codes,
     diag2 = (te - ts) - (qe - qs)
     min_dn = min(0, diag2) - diag_band
     max_dn = max(0, diag2) + diag_band
-    gt, gpp, _ = minimizers(tseq, K, W, canonical=False)
-    rt, rp, _ = minimizers(qseq, K, W, canonical=False)
+    gt, gpp, _ = minimizers(tseq, K, W, canonical=False,
+                            exact=opts.exact_ref_minimizers)
+    rt, rp, _ = minimizers(qseq, K, W, canonical=False,
+                           exact=opts.exact_ref_minimizers)
     order = np.argsort(gt, kind="stable")
     gt, gpp = gt[order], gpp[order]
     qp, tp, _, _ = match_minimizer_lists(rt, rp.astype(np.int64), gt,

@@ -20,7 +20,8 @@ def brute_rc_kmer(codes, i, k):
 
 
 def brute_minimizers(codes, k, w, canonical=True):
-    """Independent re-derivation: per-window leftmost min, distinct by pos."""
+    """Independent re-derivation: per-window leftmost min, distinct by pos
+    (the exact=False rule)."""
     n = len(codes) - k + 1
     if n < w:
         return []
@@ -47,26 +48,151 @@ def brute_minimizers(codes, k, w, canonical=True):
     return out
 
 
+def ref_oracle(codes, k, w, canonical=True):
+    """Direct transliteration of the reference streaming state machine
+    (MinCount.h:8-179) — the exact=True oracle: change-driven emission,
+    keep-older slide ties, circular-buffer expiry recompute (ties to the
+    smallest pos %% w), unmasked first-window compare, tracked-valid-span
+    N gating."""
+    L = len(codes)
+    span = w + k - 1
+    out = []
+    if L < k or L < span:
+        return out
+    mask = (1 << (2 * k)) - 1
+    fwd = rc = 0
+    mvs, strs = [], []
+    for i in range(L):
+        c = int(codes[i])
+        b = 0 if c >= 4 else c
+        fwd = ((fwd << 2) | b) & mask
+        rc = (rc >> 2) | ((3 - b) << (2 * (k - 1)))
+        if i >= k - 1:
+            if canonical and rc < fwd:
+                mvs.append(rc)
+                strs.append(1)
+            else:
+                mvs.append(fwd)
+                strs.append(0)
+    nk = L - k + 1
+    MSB = 1 << 63
+
+    def unm(p):
+        return mvs[p] | (MSB if strs[p] else 0)
+
+    def search(start):
+        valid = False
+        while start < L - span and not valid:
+            valid = True
+            for n in range(start, start + span):
+                if codes[n] > 3:
+                    start = n + 1
+                    valid = False
+                    break
+        return start, valid
+
+    nvs, valid = search(0)
+    if not valid:
+        return out
+    nve = nvs + span
+    active, abest = 0, unm(0)
+    ring = [0] * w
+    for p in range(1, w):
+        ring[p % w] = p
+        if unm(p) < abest:
+            abest, active = unm(p), p
+    if nve == span:
+        out.append((mvs[active], active, strs[active]))
+    for p in range(w, nk):
+        b = p + k - 1
+        if nve == b:
+            if codes[b] <= 3:
+                nve += 1
+            else:
+                nvs, valid = search(p + k)
+                if not valid:
+                    return out
+                nve = nvs + span
+        ring[p % w] = p
+        if active <= p - w:
+            best = ring[0]
+            for j in range(1, w):
+                if mvs[ring[j]] < mvs[best]:
+                    best = ring[j]
+            active = best
+            if nve == p + k:
+                out.append((mvs[active], active, strs[active]))
+        elif mvs[p] < mvs[active]:
+            active = p
+            if nve == p + k:
+                out.append((mvs[active], active, strs[active]))
+    return out
+
+
 @pytest.mark.parametrize("k,w", [(5, 3), (15, 10), (25, 20)])
-def test_minimizers_match_bruteforce(rng, k, w):
+@pytest.mark.parametrize("exact", [False, True])
+def test_minimizers_match_bruteforce(rng, k, w, exact):
     codes = rng.integers(0, 4, size=800).astype(np.uint8)
-    t, p, s = minimizers(codes, k, w)
-    expected = brute_minimizers(codes, k, w)
+    t, p, s = minimizers(codes, k, w, exact=exact)
+    oracle = ref_oracle if exact else brute_minimizers
+    expected = oracle(codes, k, w)
     got = list(zip(t.tolist(), p.tolist(), s.tolist()))
     assert got == expected
     assert (np.diff(p.astype(np.int64)) > 0).all()
 
 
-def test_minimizers_skip_n_windows(rng):
+@pytest.mark.parametrize("exact", [False, True])
+def test_minimizers_skip_n_windows(rng, exact):
     codes = rng.integers(0, 4, size=300).astype(np.uint8)
     codes[100:110] = 4  # N block
     k, w = 15, 10
-    t, p, s = minimizers(codes, k, w)
-    expected = brute_minimizers(codes, k, w)
+    t, p, s = minimizers(codes, k, w, exact=exact)
+    oracle = ref_oracle if exact else brute_minimizers
+    expected = oracle(codes, k, w)
     assert list(zip(t.tolist(), p.tolist(), s.tolist())) == expected
     # no minimizer k-mer may overlap the N block
     for pos in p:
         assert pos + k <= 100 or pos >= 110
+
+
+def test_exact_homopolymer_emission_density(rng):
+    """In a long equal-tuple run the reference emits ~1 occurrence per w
+    (keep-older ties + expiry recompute), the leftmost rule one per
+    position — the headline behavioral delta between the two modes."""
+    codes = np.zeros(200, np.uint8)  # poly-A
+    k, w = 15, 10
+    t_e, p_e, _ = minimizers(codes, k, w, exact=True)
+    t_l, p_l, _ = minimizers(codes, k, w, exact=False)
+    nk = 200 - k + 1
+    assert len(p_l) == nk - w + 1          # every window start
+    assert len(p_e) <= nk // w + 2          # ~one per w
+    assert list(zip(t_e.tolist(), p_e.tolist(), (0,) * len(p_e))) == \
+        ref_oracle(codes, k, w)
+
+
+def test_exact_python_fallback_matches_native(rng):
+    """The numpy event-chain and the C++ state machine are bit-identical
+    on random + N + homopolymer-salted inputs (both modes)."""
+    from lra_tpu import native
+    from lra_tpu.index.minimizers import _minimizers_exact_np
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for trial in range(60):
+        L = int(rng.integers(30, 600))
+        k = int(rng.integers(3, 16))
+        w = int(rng.integers(2, 12))
+        codes = rng.integers(0, 4, L).astype(np.uint8)
+        if trial % 3 == 0:
+            codes[rng.integers(0, L, 3)] = 4
+        if trial % 4 == 0 and L > 40:
+            s = int(rng.integers(0, L - 30))
+            codes[s:s + 30] = 1
+        for canonical in (True, False):
+            a = native.minimizers(codes, k, w, canonical, True)
+            b = _minimizers_exact_np(codes, k, w, canonical)
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y), (trial, k, w, canonical)
 
 
 def test_kmer_codes_first_base_high_bits():

@@ -41,7 +41,7 @@ def test_native_minimizers_match_numpy(rng):
             p = int(rng.integers(0, n - 10))
             codes[p:p + 5] = 4
         for k, w, canon in [(15, 10, True), (25, 20, True), (10, 5, False)]:
-            a = native.minimizers(codes, k, w, canon)
+            a = native.minimizers(codes, k, w, canon, exact=False)
             b = _numpy_minimizers(codes, k, w, canon)
             for x, y in zip(a, b):
                 assert np.array_equal(x, y), (trial, k, w, canon)
