@@ -2,8 +2,8 @@
 
 Device version of the banded-global variant of the reference's
 ``AffineOneGapAlign`` (reference: AffineOneGapAlign.h:194-201 doubled-band
-case; the separated prefix/suffix one-long-gap case stays on host for now
-and is rare — it triggers only when |qLen-tLen| > 2k).
+case; the separated prefix/suffix one-long-gap case — |qLen-tLen| > 2k —
+runs as its own batched device kernel in ops/one_gap.py).
 
 Formulation: rows j = 1..T, the band is 2K+1 diagonal offsets d with
 i = j + d.  Within-row query-gap chains (LEFT arrows) are a max-plus

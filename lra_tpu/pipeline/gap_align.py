@@ -9,7 +9,6 @@ band = min(2*drift+1, local_band), scores local_match/mismatch/indel).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -194,11 +193,11 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     # host shaped-band refine DP (same recurrence, the reference's own
     # band geometry), overlapped with the device round via the deferred
     # run_host_jobs closure
-    # LRA_REFINE_DEV_MAX overrides the cutoff for per-deployment tuning
-    # (re-measure where dispatch latency differs from this tunnel; an
-    # interleaved pipelined A/B here confirmed 4096 > 1024 at wk=4)
-    _cut = int(os.environ.get("LRA_REFINE_DEV_MAX", "4096"))
-    long_refine = refine_v & (mx > _cut)
+    # Options.refine_dev_max overrides the cutoff for per-deployment
+    # tuning via `-x refine_dev_max=N` (re-measure where dispatch latency
+    # differs from this tunnel; an interleaved pipelined A/B here
+    # confirmed 4096 > 1024 at wk=4)
+    long_refine = refine_v & (mx > opts.refine_dev_max)
     dev_mask = ~resolved & in_regime & ~long_refine
     if not use_device:
         small_mask = dev_mask & (mx <= SMALL_MAX) & ~refine_v

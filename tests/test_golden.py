@@ -240,8 +240,9 @@ def test_golden_clr_bit_identity(ref_bin, tmp_path):
     for name, (rpos, rflag, rcig, rtags) in ref_rows.items():
         assert name in ours, name
         opos, oflag, ocig, otags = ours[name]
+        assert "NM" in otags and "NM" in rtags, name
         if (opos, oflag, ocig) == (rpos, rflag, rcig) and \
-                otags.get("NM") == rtags.get("NM"):
+                otags["NM"] == rtags["NM"]:
             ident += 1
         else:
             # residuals must stay end-geometry-small, not placement-level
