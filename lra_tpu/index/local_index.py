@@ -1,7 +1,9 @@
 """Local (per-window) minimizer index.
 
 Equivalent of the reference's ``LocalIndex`` (reference: MMIndex.h:100-256):
-non-canonical k<=10, w=5 minimizers per ``local_index_window`` (256bp)
+non-canonical k<=10, w=5 minimizers per ``local_index_window`` (2048bp —
+the reference's LocalIndex default-constructor window, MMIndex.h:110-117;
+see Options.local_index_window)
 sequence window, sorted by tuple within the window, per-window frequency
 cap.  Stored as flat arrays (tuples/pos are window-relative) plus window
 boundary offsets — directly shardable/replicable.
@@ -57,7 +59,7 @@ class LocalIndex:
 
 
 def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
-                      window: int = 256, max_freq: int = 15,
+                      window: int = 2048, max_freq: int = 15,
                       offset: int = 0, exact: bool = True) -> LocalIndex:
     """Index one sequence (a chromosome or a read).
 
@@ -112,7 +114,7 @@ def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
 
 
 def build_genome_local_index(genome, k: int = 10, w: int = 5,
-                             window: int = 256, max_freq: int = 15,
+                             window: int = 2048, max_freq: int = 15,
                              threads: int = 1) -> LocalIndex:
     """Concatenated per-chromosome local index in global coordinates.
 

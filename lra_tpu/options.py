@@ -33,7 +33,14 @@ class Options:
     local_max_freq: int = 30
     global_winsize: int = 16          # per-window thinning window (bp)
     num_minimizers_per_window: int = 5
-    local_index_window: int = 256
+    # the reference's Options.h:200 says 256, but `lra index` constructs
+    # its LocalIndex with the DEFAULT constructor, whose window is
+    # 1 << (LOCAL_POS_BITS-1) = 2048 (MMIndex.h:110-117, lra.cpp:988);
+    # the .gli then carries 2048 into every align run and the read-side
+    # indexes copy it (Map_lowacc.h:246).  2048 is therefore the
+    # production value — it widens the per-window frequency cap scope
+    # and the reseed walk granularity.
+    local_index_window: int = 2048
     # reference streaming-emission minimizer semantics (MinCount.h:8-179:
     # change-driven emission, keep-older slide ties, circular-buffer
     # expiry recompute); False = leftmost windowed-argmin rule

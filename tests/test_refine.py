@@ -24,7 +24,7 @@ def world():
 
 def test_local_index_roundtrip(world, tmp_path):
     rng, g, opts, idx, gli = world
-    assert gli.nwindows() == (g.total_len + 255) // 256
+    assert gli.nwindows() == (g.total_len + gli.window - 1) // gli.window
     p = tmp_path / "g.gli.npz"
     gli.save(str(p))
     from lra_tpu.index.local_index import LocalIndex

@@ -67,18 +67,34 @@ def first_diff(a, b):
 def main():
     kind = sys.argv[4] if len(sys.argv) > 4 else "ccs"
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    default_err = {"ccs": 0.002, "ont": 0.05, "clr": 0.12}[kind]
+    default_err = {"ccs": 0.002, "ont": 0.05, "clr": 0.12, "contig": 0.0}[kind]
     err = float(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2] != "-" \
         else default_err
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
     rlen = 6000 if kind == "ccs" else 12000
     rng = np.random.default_rng(seed)
-    g = random_genome(rng, 300000)
-    reads = []
-    for i in range(n):
-        r = sample_read(rng, g, rlen, snp=err * 0.6, ins=err * 0.2,
-                        dele=err * 0.2)
-        reads.append((f"r{i}", r.codes))
+    if kind == "contig":
+        # SV-bearing assembly contigs: ~50kb slices with a 1.5kb DEL and
+        # an 800bp INS each (the reference's headline workload)
+        g = random_genome(rng, 600000)
+        reads = []
+        span, dele, ins_len = 50000, 1500, 800
+        for i in range(n):
+            s = int(rng.integers(0, len(g) - span - dele - 1))
+            seq = g[s:s + span + dele].copy()
+            dpos = span // 3 + int(rng.integers(0, span // 4))
+            seq = np.concatenate([seq[:dpos], seq[dpos + dele:]])
+            ipos = 2 * span // 3 + int(rng.integers(0, span // 5))
+            insert = rng.integers(0, 4, ins_len).astype(np.uint8)
+            seq = np.concatenate([seq[:ipos], insert, seq[ipos:]])
+            reads.append((f"r{i}", seq))
+    else:
+        g = random_genome(rng, 300000)
+        reads = []
+        for i in range(n):
+            r = sample_read(rng, g, rlen, snp=err * 0.6, ins=err * 0.2,
+                            dele=err * 0.2)
+            reads.append((f"r{i}", r.codes))
     d = tempfile.mkdtemp(prefix="golden_diff_")
     with open(os.path.join(d, "ref.fa"), "w") as f:
         f.write(">chr1\n" + sequtils.decode(g) + "\n")
@@ -87,7 +103,8 @@ def main():
             f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
     ref = bench.build_reference()
     assert ref, "reference build failed"
-    flag = {"ccs": "-CCS", "ont": "-ONT", "clr": "-CLR"}[kind]
+    flag = {"ccs": "-CCS", "ont": "-ONT", "clr": "-CLR",
+            "contig": "-CONTIG"}[kind]
     subprocess.run([ref, "index", flag, "ref.fa"], cwd=d, check=True,
                    capture_output=True, timeout=600)
     out = subprocess.run(
