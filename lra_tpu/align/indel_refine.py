@@ -240,14 +240,21 @@ def splice_refined_blocks(seg, jobs: list) -> None:
     blocks = seg.blocks
     out: list = []
 
-    def emit(bq, bt, bl):
+    def emit(bq, bt, bl, keep_zero=False):
         # merge contiguous pieces of the same original block back
-        if bl <= 0:
+        if bl < 0 or (bl == 0 and not keep_zero):
             return
         if out and out[-1][0] + out[-1][2] == bq and \
                 out[-1][1] + out[-1][2] == bt:
-            out[-1] = (out[-1][0], out[-1][1], out[-1][2] + bl)
-        else:
+            # contiguous: extend (a contiguous zero-length block adds
+            # nothing either way)
+            if bl > 0:
+                out[-1] = (out[-1][0], out[-1][1], out[-1][2] + bl)
+        elif bl > 0 or out:
+            # keep_zero: zero-length blocks between two gap runs are the
+            # reference's op-order markers (IndelRefine.h:715-745 emits
+            # them): they keep a D-run-then-I-run from flipping to
+            # I-then-D when the CIGAR is rebuilt from block gaps
             out.append((bq, bt, bl))
 
     i = 0
@@ -271,7 +278,7 @@ def splice_refined_blocks(seg, jobs: list) -> None:
             for (bq, bt, bl) in [(q0, t0, 1)] + [
                     (q0 + 1 + bq, t0 + 1 + bt, bl)
                     for (bq, bt, bl) in (job.blocks or [])]:
-                emit(bq, bt, bl)
+                emit(bq, bt, bl, keep_zero=True)
         elif job is not None:
             emit(q0, t0, 0)   # no-op, keeps structure explicit
             for (bq, bt, bl) in (job.blocks or []):

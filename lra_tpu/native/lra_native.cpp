@@ -111,6 +111,45 @@ struct SeqStream {
   }
 };
 
+// Emit refine-lane traceback blocks the reference's way
+// (IndelRefine.h:715-745): one block per (diagonal run, single-kind gap
+// run) pair, INCLUDING zero-length blocks between an insertion run and
+// a deletion run — they are the op-order markers that keep e.g.
+// `xD yI` from flipping to `yI xD` when the CIGAR is rebuilt from block
+// gaps.  ops is in reverse order (codes 1=LEFT 2=DOWN 3=DIAG) and
+// excludes the forced origin cell, so the leading diagonal run is the
+// reference's first block minus that base.  Returns count or -1.
+int64_t emit_refine_blocks(const std::vector<int8_t>& ops,
+                           int64_t* blocks_out, int64_t max_blocks) {
+  const int8_t A_LEFT = 1, A_DIAG = 3;
+  int64_t nb = 0, qPos = 0, tPos = 0;
+  int64_t oi = (int64_t)ops.size() - 1;
+  bool first = true;
+  while (oi >= 0 || first) {
+    int64_t run = 0;
+    while (oi >= 0 && ops[oi] == A_DIAG) { run++; oi--; }
+    int64_t qg = 0, tg = 0;
+    if (oi >= 0) {
+      if (ops[oi] == A_LEFT) {
+        while (oi >= 0 && ops[oi] == A_LEFT) { qg++; oi--; }
+      } else {
+        while (oi >= 0 && ops[oi] != A_LEFT && ops[oi] != A_DIAG) {
+          tg++; oi--;
+        }
+      }
+    }
+    if (nb >= max_blocks) return -1;
+    blocks_out[nb * 3 + 0] = qPos;
+    blocks_out[nb * 3 + 1] = tPos;
+    blocks_out[nb * 3 + 2] = run;
+    nb++;
+    qPos += run + qg;
+    tPos += run + tg;
+    first = false;
+  }
+  return nb;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1425,30 +1464,7 @@ int64_t lrn_refine_dp_shaped(
       break;
     }
   }
-  int64_t nb = 0, qPos = 0, tPos = 0, run = 0;
-  for (int64_t oi = (int64_t)ops.size() - 1; oi >= 0; oi--) {
-    const int8_t op = ops[oi];
-    if (op == A_DIAG) {
-      run++; qPos++; tPos++;
-    } else {
-      if (run) {
-        if (nb >= max_blocks) return -1;
-        blocks_out[nb * 3 + 0] = qPos - run;
-        blocks_out[nb * 3 + 1] = tPos - run;
-        blocks_out[nb * 3 + 2] = run;
-        nb++; run = 0;
-      }
-      if (op == A_LEFT) qPos++; else tPos++;
-    }
-  }
-  if (run) {
-    if (nb >= max_blocks) return -1;
-    blocks_out[nb * 3 + 0] = qPos - run;
-    blocks_out[nb * 3 + 1] = tPos - run;
-    blocks_out[nb * 3 + 2] = run;
-    nb++;
-  }
-  return nb;
+  return emit_refine_blocks(ops, blocks_out, max_blocks);
 }
 
 int64_t lrn_refine_dp(const int8_t* q, int64_t qlen, const int8_t* t,
@@ -1554,30 +1570,7 @@ int64_t lrn_refine_dp(const int8_t* q, int64_t qlen, const int8_t* t,
     }
   }
   // ops are end-first; walk them in reverse emitting match-run blocks
-  int64_t nb = 0, qPos = 0, tPos = 0, run = 0;
-  for (int64_t oi = (int64_t)ops.size() - 1; oi >= 0; oi--) {
-    const int8_t op = ops[oi];
-    if (op == A_DIAG) {
-      run++; qPos++; tPos++;
-    } else {
-      if (run) {
-        if (nb >= max_blocks) return -1;
-        blocks_out[nb * 3 + 0] = qPos - run;
-        blocks_out[nb * 3 + 1] = tPos - run;
-        blocks_out[nb * 3 + 2] = run;
-        nb++; run = 0;
-      }
-      if (op == A_LEFT) qPos++; else tPos++;
-    }
-  }
-  if (run) {
-    if (nb >= max_blocks) return -1;
-    blocks_out[nb * 3 + 0] = qPos - run;
-    blocks_out[nb * 3 + 1] = tPos - run;
-    blocks_out[nb * 3 + 2] = run;
-    nb++;
-  }
-  return nb;
+  return emit_refine_blocks(ops, blocks_out, max_blocks);
 }
 
 }  // extern "C"

@@ -196,7 +196,18 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
     # Options.refine_dev_max overrides the cutoff for per-deployment
     # tuning via `-x refine_dev_max=N` (re-measure where dispatch latency
     # differs from this tunnel; an interleaved pipelined A/B here
-    # confirmed 4096 > 1024 at wk=4)
+    # confirmed 4096 > 1024 at wk=4).
+    # Routing note (measured, golden sweep over 5 seeds x 3 presets): an
+    # experiment routing ALL path-bearing refine regions through the
+    # reference-exact shaped-band host DP LOWERED bit-identity (ONT
+    # 10/9/8/8/8 -> 8/7/8/5/8).  The exact band follows OUR input block
+    # path; on reads whose pre-refine path differs slightly from the
+    # reference's, the wider rectangular tier band re-converges to the
+    # reference's optimum while the exact band locks the difference in.
+    # So small refine regions stay on the (superset-band) device tiers,
+    # and only long regions use the shaped host DP — whose band build is
+    # now the reference's exact geometry (lrn_refine_dp_shaped), which
+    # is also the cheaper band for megabase regions.
     long_refine = refine_v & (mx > opts.refine_dev_max)
     dev_mask = ~resolved & in_regime & ~long_refine
     if not use_device:
