@@ -163,6 +163,9 @@ class ChainProblem:
     # (best_chain/chain_vmax) — the device tracebacks and downloads a
     # ~100x smaller chain bitmask instead of V/bp/lane
     need_full: bool = True
+    # windowed-kernel near-window size used for this problem (set by
+    # _solve_batch; needed to resolve FAR sentinels consistently)
+    win_W: int = WIN_W
     # results
     V: np.ndarray | None = None
     bp: np.ndarray | None = None
@@ -304,6 +307,8 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                 sch["perm1"], sch["perm2"], sch["ok1"], sch["ok2"],
                 sch["qer1"], sch["qer2"], sch["rank1"], sch["rank2"],
                 sch["ins_hi"]))
+            for p in plist:
+                p.win_W = win_W
             packed = _chain_packed_windowed(args, key, win_W)
         elif full:
             # async dispatch across all buckets before any download
@@ -366,7 +371,8 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                 p.bp[i] = resolve_far_np(
                     int(i), p.qS, p.qE, p.tS, p.tE, p.V,
                     np.asarray(p.lane1, bool), np.asarray(p.lane2, bool),
-                    np.ones(n, bool), 1 if p.bp[i] == -2 else 2, WIN_L)
+                    np.ones(n, bool), 1 if p.bp[i] == -2 else 2, WIN_L,
+                    p.win_W)
     if devstats.ENABLED:
         devstats.record(
             "chain_sdp", buckets=len(pending),

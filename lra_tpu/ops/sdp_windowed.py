@@ -24,16 +24,17 @@ the reference's ~4.7k-LoC divide-and-conquer (SparseDP.h:1834-1837).
 Instead W is sized so the near window's q-span exceeds the reference's own
 ``splitdist`` (50k, Options.h:191): a missed-by-both-terms predecessor is
 q-distant AND diag-unsaturated, i.e. a chain edge the reference's
-SPLITChain would cut anyway.  A second, block-granularity miss also
-exists: the far insertion schedule admits fragment j only once
-``qE_j <= qS[block_start]``, so a predecessor older than W by q-rank
-whose anchor still overlaps the current block in q (qE_j > qS[b0]) is
-visible to NEITHER term for the rows of that block.  Such a fragment is
-a >W-rank-distant anchor long enough to span back into the current
-block — it becomes visible again from the next block on, so the effect
-is confined to one L-row block per long anchor.  Both misses only ever
-LOWER a chain score (an edge goes unseen); scores are never
-overestimated.
+SPLITChain would cut anyway.  A second, refresh-granularity miss also
+exists: the far structures (activation set + t-sorted prefix maxima)
+are rebuilt every R = W/(2L) blocks rather than per block (rebuilding
+costs two full-N gather+cummax passes — doing it per block made the
+far term the kernel's latency wall), so a predecessor older than W by
+q-rank whose qE only recently dropped <= qS (a long anchor spanning
+back) is visible to NEITHER term until the next refresh.  Fragments
+finalized since the refresh need no far coverage at all: they are at
+most R*L = W/2 q-ranks back, inside the near window's exact scan.
+Both misses only ever LOWER a chain score (an edge goes unseen);
+scores are never overestimated.
 
 Backpointers: near/in-block predecessors by index, far predecessors as
 sentinels FAR1/FAR2 that the host resolves during traceback (it knows V
@@ -128,10 +129,17 @@ def chain_scores_windowed(qS, qE, tS, tE, score, lane1, lane2, valid,
     p_l2 = fpad(lane2, False)
     p_valid = fpad(valid, False)
 
+    # far-structure refresh cadence: R*L <= W/2 keeps every
+    # fragment finalized since the refresh inside the exact near window
+    R = max(1, W // (2 * L))
+    while nb % R:
+        R //= 2
+
     def blk(a, b0, ln=L):
         return jax.lax.dynamic_slice_in_dim(a, b0, ln, axis=1)
 
-    def step(V, b):
+    def step(carry, b):
+        V, P1, P2 = carry
         b0 = b * L
         bqS = blk(qS, b0)
         bqE = blk(qE, b0)
@@ -173,18 +181,12 @@ def chain_scores_windowed(qS, qE, tS, tE, score, lane1, lane2, valid,
             2, 1).astype(jnp.int32)
         near_idx = b0 - W + near_arg                            # q-rank
 
-        # --- far term: prefix-max over t-sorted finalized fragments ---
-        hi = blk(ins_hi, b, 1)                                  # [B, 1]
-        Vt1 = jnp.take_along_axis(V, perm1, axis=1)
-        act1 = ok1 & (qer1 < hi)
-        P1 = jax.lax.cummax(jnp.where(act1, Vt1, NEG), axis=1)
+        # --- far term: stale prefix-max over t-sorted fragments
+        # (refreshed once per R-block round; see module docstring) ---
         r1 = blk(rank1, b0)                                     # [B, L]
         g1 = jnp.take_along_axis(P1, jnp.maximum(r1 - 1, 0), axis=1)
         far1 = jnp.where((r1 > 0) & bl1, g1 - c2, NEG)
 
-        Vt2 = jnp.take_along_axis(V, perm2, axis=1)
-        act2 = ok2 & (qer2 < hi)
-        P2 = jax.lax.cummax(jnp.where(act2, Vt2, NEG), axis=1)
         r2 = blk(rank2, b0)
         g2 = jnp.take_along_axis(P2, jnp.maximum(r2 - 1, 0), axis=1)
         far2 = jnp.where((r2 > 0) & bl2, g2 - c2, NEG)
@@ -198,7 +200,18 @@ def chain_scores_windowed(qS, qE, tS, tE, score, lane1, lane2, valid,
         arg_prev = jnp.where(use_far, far_bp, near_idx)
         lane_prev = jnp.where(use_far, far_lane, near_lane)
 
-        # --- within-block triangle (exact, unrolled) ---
+        # --- within-block triangle: max-plus closure (log-doubling) ---
+        # The L-row in-block recurrence
+        #   v_l = sc_l + max(0, best_prev_l, max_{j<l} (v_j + tcand_jl))
+        # is a longest path over the strict row-order DAG with per-node
+        # source injection W0_l = sc_l + max(best_prev_l, 0); instead of
+        # an unrolled chain of L tiny sequential ops (the latency wall
+        # that capped this kernel at ~49k anchors/s) it is solved as a
+        # max-plus closure: 6 = log2(L) squarings of the [B, L, L] edge
+        # matrix, then one vector product.  f32 path sums group
+        # differently than the sequential per-node rounding (ULP-level),
+        # so bp/lane tie rules are recovered in one exact pass against
+        # the final values afterwards.
         tvis = (bqE[:, None, :] <= bqS[:, :, None])
         tm1 = tvis & (btE[:, None, :] <= btS[:, :, None]) & \
             bl1[:, None, :] & bl1[:, :, None]
@@ -213,52 +226,72 @@ def chain_scores_windowed(qS, qE, tS, tE, score, lane1, lane2, valid,
         tcand = jnp.maximum(tc1, tc2)
         tlane = jnp.where(tc2 > tc1, 2, 1).astype(jnp.int32)
 
-        vloc = jnp.full((B, L), NEG)
-        rows_v, rows_bp, rows_lane = [], [], []
-        for l in range(L):
-            in_cand = tcand[:, l, :] + vloc
-            in_cand = jnp.where(bva, in_cand, NEG)
-            in_best = jnp.max(in_cand, axis=1)
-            in_arg = jnp.argmax(in_cand, axis=1).astype(jnp.int32)
-            use_in = in_best > best_prev[:, l]
-            best = jnp.maximum(in_best, best_prev[:, l])
-            take = best > 0.0
-            v_l = bsc[:, l] + jnp.where(take, best, 0.0)
-            v_l = jnp.where(bva[:, l], v_l, NEG)
-            bp_l = jnp.where(
-                take,
-                jnp.where(use_in, b0 + in_arg, arg_prev[:, l]),
-                -1).astype(jnp.int32)
-            lane_l = jnp.where(
-                take,
-                jnp.where(use_in,
-                          jnp.take_along_axis(tlane[:, l, :],
-                                              in_arg[:, None], 1)[:, 0],
-                          lane_prev[:, l]),
-                0).astype(jnp.int32)
-            vloc = vloc.at[:, l].set(v_l)
-            rows_v.append(v_l)
-            rows_bp.append(bp_l)
-            rows_lane.append(lane_l)
+        # the sequential loop only ever saw j < l as in-block predecessor
+        # (later rows were NEG in its running vloc); edges through or out
+        # of invalid rows must die too
+        ltri = jnp.tril(jnp.ones((L, L), bool), k=-1)[None]      # [1,l,j]
+        edge_ok = ltri & bva[:, None, :] & bva[:, :, None]
+        M = jnp.where(edge_ok, tcand + bsc[:, :, None], NEG)
+        eye = jnp.where(jnp.eye(L, dtype=bool)[None],
+                        jnp.float32(0.0), NEG)
+        C = jnp.maximum(M, eye)                                  # I (+) M
+        for _ in range(max(1, L.bit_length() - 1)):              # log2(L)
+            C = jnp.max(C[:, :, :, None] + C[:, None, :, :], axis=2)
+        W0 = jnp.where(bva, bsc + jnp.maximum(best_prev, 0.0), NEG)
+        vfin = jnp.max(W0[:, None, :] + C, axis=2)               # [B, L]
+
+        # exact bp/lane recovery with the sequential tie rules, against
+        # the (final) in-block values
+        in_cand = jnp.where(edge_ok, tcand + vfin[:, None, :], NEG)
+        in_best = jnp.max(in_cand, axis=2)
+        in_arg = jnp.argmax(in_cand, axis=2).astype(jnp.int32)
+        use_in = in_best > best_prev
+        best = jnp.maximum(in_best, best_prev)
+        take = best > 0.0
+        vloc = bsc + jnp.where(take, best, 0.0)
+        vloc = jnp.where(bva, vloc, NEG)
+        bploc = jnp.where(
+            take, jnp.where(use_in, b0 + in_arg, arg_prev),
+            -1).astype(jnp.int32)
+        lane_sel = jnp.take_along_axis(tlane, in_arg[:, :, None],
+                                       axis=2)[:, :, 0]
+        laneloc = jnp.where(
+            take, jnp.where(use_in, lane_sel, lane_prev),
+            0).astype(jnp.int32)
 
         V = jax.lax.dynamic_update_slice_in_dim(V, vloc, b0, axis=1)
-        return V, (jnp.stack(rows_v, 1), jnp.stack(rows_bp, 1),
-                   jnp.stack(rows_lane, 1))
+        return (V, P1, P2), (vloc, bploc, laneloc)
+
+    def round_step(V, r):
+        # rebuild far structures from values finalized before this round;
+        # activation uses the round's FIRST block (a subset of every
+        # inner block's true activation — all finalized, never more)
+        r0b = r * R
+        hi = jax.lax.dynamic_slice_in_dim(ins_hi, r0b, 1, axis=1)
+        Vt1 = jnp.take_along_axis(V, perm1, axis=1)
+        P1 = jax.lax.cummax(jnp.where(ok1 & (qer1 < hi), Vt1, NEG), axis=1)
+        Vt2 = jnp.take_along_axis(V, perm2, axis=1)
+        P2 = jax.lax.cummax(jnp.where(ok2 & (qer2 < hi), Vt2, NEG), axis=1)
+        (V, _, _), outs = jax.lax.scan(step, (V, P1, P2),
+                                       r0b + jnp.arange(R))
+        return V, outs
 
     V0 = jnp.full((B, N), NEG)
-    _, (v, bp, lane) = jax.lax.scan(step, V0, jnp.arange(nb))
-    v = jnp.transpose(v, (1, 0, 2)).reshape(B, N)
-    bp = jnp.transpose(bp, (1, 0, 2)).reshape(B, N)
-    lane = jnp.transpose(lane, (1, 0, 2)).reshape(B, N)
+    _, (v, bp, lane) = jax.lax.scan(round_step, V0, jnp.arange(nb // R))
+    # outputs stacked [nr, R, B, L] -> [B, N]
+    v = jnp.transpose(v, (2, 0, 1, 3)).reshape(B, N)
+    bp = jnp.transpose(bp, (2, 0, 1, 3)).reshape(B, N)
+    lane = jnp.transpose(lane, (2, 0, 1, 3)).reshape(B, N)
     return v, bp, lane
 
 
 def resolve_far_np(i, qS, qE, tS, tE, V, lane1, lane2, valid, which,
-                   L=64):
+                   L=64, W=4096):
     """Host resolution of a FAR1/FAR2 sentinel at q-rank i: the argmax the
-    device's far term saw (its exact schedule: qE_j <= qS[block_start],
-    t-dominance, lane), so the chain stays consistent with V."""
-    b0 = (i // L) * L
+    device's far term saw (its schedule: qE_j <= qS at the refresh-round
+    start, t-dominance, lane), so the chain stays consistent with V."""
+    R = max(1, W // (2 * L))
+    b0 = (i // (L * R)) * (L * R)
     vis = valid & (qE <= qS[b0])
     if which == 1:
         vis = vis & lane1 & (tE <= tS[i])
