@@ -66,6 +66,16 @@ class GlobalIndex:
                 "avg_freq": float(n / distinct)}
 
 
+# genomes beyond this size take the tuple-partitioned build path:
+# full-array argsort workspaces (int64 index + mergesort scratch +
+# fancy-index copies) peaked at ~60GB RSS for a 3Gb genome (~600M raw
+# occurrences); partitioning by tuple range bounds transients to one
+# partition's share while staying bit-identical (partitions are
+# disjoint tuple ranges processed ascending, stable within)
+_PARTITION_THRESHOLD_BP = 256_000_000
+_N_PARTITIONS = 32
+
+
 def build_global_index(genome: Genome, opts: Options,
                        threads: int = 1) -> GlobalIndex:
     k, w = opts.global_k, opts.global_w
@@ -75,7 +85,7 @@ def build_global_index(genome: Genome, opts: Options,
         end = int(genome.ends[ci])
         t, p, s = minimizers(genome.codes[start:end], k, w, canonical=True,
                              exact=opts.exact_ref_minimizers)
-        return t, p.astype(np.int64) + start, s
+        return t, p, s, start
 
     # per-chromosome extraction is independent; the native extractor is a
     # ctypes call (GIL released), so threads give real parallel build on
@@ -83,80 +93,151 @@ def build_global_index(genome: Genome, opts: Options,
     # built index is identical at any thread count (test_minimizers).
     if threads > 1 and genome.nseq > 1:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=threads) as ex:
-            parts = list(ex.map(_one, range(genome.nseq)))
+        ex = ThreadPoolExecutor(max_workers=threads)
+        part_iter = ex.map(_one, range(genome.nseq))
     else:
-        parts = [_one(ci) for ci in range(genome.nseq)]
-    tuples_l = [p[0] for p in parts]
-    pos_l = [p[1] for p in parts]
-    strand_l = [p[2] for p in parts]
-    tuples = (np.concatenate(tuples_l) if tuples_l else np.zeros(0, np.uint64))
-    if len(tuples) == 0:
-        return GlobalIndex(k, np.zeros(0, np.uint64), np.zeros(0, np.uint32),
-                           np.zeros(0, np.uint8), np.zeros(0, np.int32))
-    pos = np.concatenate(pos_l)
-    strand = np.concatenate(strand_l)
+        ex = None
+        part_iter = (_one(ci) for ci in range(genome.nseq))
 
-    # sort by (tuple, pos): pos is globally ascending before the sort, so
-    # a stable tuple-only argsort gives the same deterministic order as
-    # lexsort((pos, tuples)) at half the cost (reference sorts by tuple
-    # only, MMIndex.h:314)
-    order = np.argsort(tuples, kind="stable")
-    tuples, pos, strand = tuples[order], pos[order], strand[order]
-
-    # tuple run lengths -> frequency per occurrence
-    boundaries = np.concatenate([[True], tuples[1:] != tuples[:-1]])
-    run_id = np.cumsum(boundaries) - 1
-    run_sizes = np.bincount(run_id)
-    freq = run_sizes[run_id].astype(np.int64)
-
-    # frequency filter: drop tuples with multiplicity > global_max_freq
-    # (reference: MMIndex.h:335 `if (ne - n > opts.globalMaxFreq)`)
-    keep = freq <= opts.global_max_freq
-
-    # per-window thinning of the survivors (reference: MMIndex.h:358-376):
-    # rank survivors by (freq asc, index desc) — matching CountSort's stable
-    # placement order — and keep the first num_minimizers_per_window per
-    # global_winsize genome window.
-    surv = np.nonzero(keep)[0]
-    if len(surv):
-        from .. import native
-
-        sfreq = freq[surv]
-        # (freq asc, index desc): stable argsort of the reversed array;
-        # freq values are small ints, so the native counting sort applies
-        rev = np.ascontiguousarray(sfreq[::-1], np.int32)
-        o = native.counting_argsort_i32(rev) if native.available() else None
-        if o is None:
-            o = np.argsort(rev, kind="stable")
-        ranked = surv[len(surv) - 1 - o]
-        win = pos[ranked] // opts.global_winsize
-        # rank of each element within its window, in `ranked` order
-        win32 = win.astype(np.int32)
-        # cap the counting-sort range: the native sort allocates two
-        # int64 vectors of `range` entries (~16B/window), so a 3Gb
-        # genome at winsize 12 (~2.6e8 windows) would transiently eat
-        # ~4GB; past 1<<26 windows the numpy stable sort is cheaper
-        worder = (native.counting_argsort_i32(win32, 1 << 26)
-                  if native.available() else None)
-        if worder is None:
-            worder = np.argsort(win, kind="stable")
-        wsorted = win[worder]
-        wstart = np.concatenate([[True], wsorted[1:] != wsorted[:-1]])
-        grp = np.cumsum(wstart) - 1
-        first_of_grp = np.nonzero(wstart)[0]
-        rank_in_win = np.arange(len(wsorted)) - first_of_grp[grp]
-        kept_mask_sorted = rank_in_win < opts.num_minimizers_per_window
-        kept_rows = ranked[worder[kept_mask_sorted]]
-        final = np.zeros(len(tuples), dtype=bool)
-        final[kept_rows] = True
+    if genome.total_len > _PARTITION_THRESHOLD_BP:
+        # stream chromosome results straight into tuple-range buckets so
+        # raw occurrences are held once, not twice
+        s_tuples, s_pos, s_strand, s_freq = _sort_filter_partitioned(
+            part_iter, k, opts)
+        if ex is not None:
+            ex.shutdown()
+        if len(s_tuples) == 0:
+            return GlobalIndex(k, np.zeros(0, np.uint64),
+                               np.zeros(0, np.uint32), np.zeros(0, np.uint8),
+                               np.zeros(0, np.int32))
     else:
-        final = keep
+        parts = list(part_iter)
+        if ex is not None:
+            ex.shutdown()
+        total_raw = sum(len(p[0]) for p in parts)
+        if total_raw == 0:
+            return GlobalIndex(k, np.zeros(0, np.uint64),
+                               np.zeros(0, np.uint32), np.zeros(0, np.uint8),
+                               np.zeros(0, np.int32))
+        tuples = np.concatenate([p[0] for p in parts])
+        pos = np.concatenate([p[1].astype(np.int64) + p[3] for p in parts])
+        strand = np.concatenate([p[2] for p in parts])
+        del parts
 
-    return GlobalIndex(
-        k,
-        tuples[final],
-        pos[final].astype(np.uint32),
-        strand[final],
-        freq[final].astype(np.int32),
-    )
+        # sort by (tuple, pos): pos is globally ascending before the sort,
+        # so a stable tuple-only argsort gives the same deterministic order
+        # as lexsort((pos, tuples)) at half the cost (reference sorts by
+        # tuple only, MMIndex.h:314)
+        order = np.argsort(tuples, kind="stable")
+        tuples, pos, strand = tuples[order], pos[order], strand[order]
+
+        # tuple run lengths -> frequency per occurrence
+        boundaries = np.concatenate([[True], tuples[1:] != tuples[:-1]])
+        run_id = np.cumsum(boundaries) - 1
+        run_sizes = np.bincount(run_id)
+        freq = run_sizes[run_id].astype(np.int64)
+
+        # frequency filter: drop tuples with multiplicity > global_max_freq
+        # (reference: MMIndex.h:335 `if (ne - n > opts.globalMaxFreq)`)
+        keep = freq <= opts.global_max_freq
+        s_tuples = tuples[keep]
+        s_pos = pos[keep].astype(np.uint32)
+        s_strand = strand[keep]
+        s_freq = freq[keep].astype(np.int32)
+
+    final = _window_thin(s_pos, s_freq, opts)
+    return GlobalIndex(k, s_tuples[final], s_pos[final], s_strand[final],
+                       s_freq[final])
+
+
+def _sort_filter_partitioned(part_iter, k: int, opts: Options):
+    """Sort + frequency-filter in _N_PARTITIONS disjoint tuple ranges,
+    consuming per-chromosome extraction results as a stream.
+
+    Bit-identical to the direct path: partitions are consecutive tuple
+    ranges (top bits of the 2k-bit tuple value) processed ascending;
+    within a partition the boolean-mask split preserves the original
+    (chromosome, position) order, so the per-partition stable sort
+    reproduces exactly the slice of the global stable sort.  Frequency
+    counts are exact because equal tuples never span partitions.  Peak
+    transients drop from full-array scale to one partition's share."""
+    shift = max(0, 2 * k - int(_N_PARTITIONS - 1).bit_length())
+    buckets: list = [[] for _ in range(_N_PARTITIONS)]
+    for t, p, s, start in part_iter:
+        pk = (t >> np.uint64(shift)).astype(np.int64)
+        order = np.argsort(pk, kind="stable")   # groups ranges, keeps order
+        pk_s = pk[order]
+        cuts = np.searchsorted(pk_s, np.arange(_N_PARTITIONS + 1))
+        gp = p.astype(np.int64) + start
+        for b in range(_N_PARTITIONS):
+            lo, hi = int(cuts[b]), int(cuts[b + 1])
+            if hi > lo:
+                sel = order[lo:hi]
+                sel.sort()                       # original order within part
+                buckets[b].append((t[sel], gp[sel].astype(np.uint32),
+                                   s[sel]))
+        del t, p, s, gp, pk, pk_s, order
+    out_t, out_p, out_s, out_f = [], [], [], []
+    for b in range(_N_PARTITIONS):
+        if not buckets[b]:
+            continue
+        t = np.concatenate([x[0] for x in buckets[b]])
+        p = np.concatenate([x[1] for x in buckets[b]])
+        s = np.concatenate([x[2] for x in buckets[b]])
+        buckets[b] = None
+        order = np.argsort(t, kind="stable")
+        t, p, s = t[order], p[order], s[order]
+        del order
+        boundaries = np.concatenate([[True], t[1:] != t[:-1]])
+        run_id = np.cumsum(boundaries) - 1
+        freq = np.bincount(run_id)[run_id]
+        keep = freq <= opts.global_max_freq
+        out_t.append(t[keep])
+        out_p.append(p[keep])
+        out_s.append(s[keep])
+        out_f.append(freq[keep].astype(np.int32))
+    if not out_t:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                np.zeros(0, np.uint8), np.zeros(0, np.int32))
+    return (np.concatenate(out_t), np.concatenate(out_p),
+            np.concatenate(out_s), np.concatenate(out_f))
+
+
+def _window_thin(pos: np.ndarray, freq: np.ndarray, opts: Options):
+    """Per-window thinning of the survivors (reference: MMIndex.h:358-376):
+    rank survivors by (freq asc, tuple-sorted index desc) — matching
+    CountSort's stable placement order — and keep the first
+    num_minimizers_per_window per global_winsize genome window.
+    Returns a boolean mask over the survivor rows."""
+    n = len(pos)
+    if n == 0:
+        return np.zeros(0, bool)
+    from .. import native
+
+    # (freq asc, index desc): stable argsort of the reversed array;
+    # freq values are small ints, so the native counting sort applies
+    rev = np.ascontiguousarray(freq[::-1], np.int32)
+    o = native.counting_argsort_i32(rev) if native.available() else None
+    if o is None:
+        o = np.argsort(rev, kind="stable")
+    ranked = n - 1 - o
+    win = (pos[ranked] // opts.global_winsize).astype(np.int64)
+    # rank of each element within its window, in `ranked` order
+    win32 = win.astype(np.int32)
+    # cap the counting-sort range: the native sort allocates two
+    # int64 vectors of `range` entries (~16B/window), so a 3Gb
+    # genome at winsize 12 (~2.6e8 windows) would transiently eat
+    # ~4GB; past 1<<26 windows the numpy stable sort is cheaper
+    worder = (native.counting_argsort_i32(win32, 1 << 26)
+              if native.available() else None)
+    if worder is None:
+        worder = np.argsort(win, kind="stable")
+    wsorted = win[worder]
+    wstart = np.concatenate([[True], wsorted[1:] != wsorted[:-1]])
+    grp = np.cumsum(wstart) - 1
+    first_of_grp = np.nonzero(wstart)[0]
+    rank_in_win = np.arange(len(wsorted)) - first_of_grp[grp]
+    kept_mask_sorted = rank_in_win < opts.num_minimizers_per_window
+    final = np.zeros(n, dtype=bool)
+    final[ranked[worder[kept_mask_sorted]]] = True
+    return final
