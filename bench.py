@@ -111,33 +111,94 @@ def _time_reference(ref, workdir, flag, reads_file):
     return time.time() - t0
 
 
-def _setup_workload(kind, seed, n_reads, read_len, err, sub, workers=2):
-    """Build one benchmark workload: simulated genome+reads, our index,
-    a runner closure, and the on-disk FASTAs for the reference binary
-    (its own workdir — reference index files are preset-specific)."""
+def _sim_contigs(rng, genome, n, span, dele, ins):
+    """Assembly-contig workload: `span`-long single-chromosome genome
+    slices, each carrying one DEL (drop `dele` bases mid-contig) and one
+    INS (insert `ins` random bases) — the reference's headline use case
+    (README.md:29)."""
+    contigs = []
+    starts = genome.starts()
+    for i in range(n):
+        ci = int(rng.integers(0, genome.nseq))
+        lo, hi = int(starts[ci]), int(genome.ends[ci])
+        s = lo + int(rng.integers(0, hi - lo - span - dele - 1))
+        seq = genome.codes[s:s + span + dele].copy()
+        dpos = span // 3 + int(rng.integers(0, span // 4))
+        seq = np.concatenate([seq[:dpos], seq[dpos + dele:]])
+        ipos = 2 * span // 3 + int(rng.integers(0, span // 5))
+        insert = rng.integers(0, 4, ins).astype(np.uint8)
+        seq = np.concatenate([seq[:ipos], insert, seq[ipos:]])
+        contigs.append((f"ctg{i}", seq))
+    return contigs
+
+
+GENOME_MB = 64  # chr20-scale (BASELINE.md configs 2-3: human chr20)
+
+
+def bench_genome():
+    """The shared benchmark genome: chr20-scale (64Mb, 2 chromosomes),
+    salted with repeat arrays the same way tools/human_scale.py does
+    (40x 5kb LINE-like pastes + a 500-copy 171bp satellite per
+    chromosome) so the workload has the repeat structure the reference
+    was built for (its headline use case is human-genome SV discovery,
+    reference README.md:29) instead of an unrealistically repeat-free
+    uniform-random sequence.  The round-3 2Mb configuration remains in
+    BASELINE.md for continuity."""
+    from lra_tpu.io.genome import Genome
+    from lra_tpu.sim import random_genome
+
+    rng = np.random.default_rng(99)
+    per = GENOME_MB * 1_000_000 // 2
+    seqs = []
+    for c in range(2):
+        g = random_genome(rng, per)
+        unit = g[1000:6000].copy()
+        for _ in range(40):
+            p = int(rng.integers(0, per - 6000))
+            g[p:p + 5000] = unit
+        sat = g[100:271].copy()
+        p0 = int(rng.integers(0, per - 200 * 500))
+        for k in range(500):
+            g[p0 + k * 171:p0 + (k + 1) * 171] = sat
+        seqs.append((f"chr{c + 1}", g))
+    return Genome.from_seqs(seqs)
+
+
+def _setup_workload(kind, seed, n_reads, read_len, err, sub, genome,
+                    workers=2):
+    """Build one benchmark workload: simulated reads on the shared
+    genome, our index, a runner closure, and the on-disk FASTAs for the
+    reference binary (its own workdir — reference index files are
+    preset-specific).  kind='contig' simulates SV-bearing assembly
+    contigs of length `read_len` instead of error-salted reads."""
     import tempfile
 
     from lra_tpu import preset, seq as sequtils
     from lra_tpu.index.global_index import build_global_index
-    from lra_tpu.io.genome import Genome
+    from lra_tpu.pipeline import align_reads
     from lra_tpu.pipeline.stream import align_stream
-    from lra_tpu.sim import random_genome, sample_read
+    from lra_tpu.sim import sample_read
 
     workdir = tempfile.mkdtemp(prefix=f"lra_bench_{kind}_")
     rng = np.random.default_rng(seed)
-    genome = Genome.from_seqs([("chr1", random_genome(rng, 2_000_000))])
     opts = preset(kind)
     idx = build_global_index(genome, opts)
-    snp, ind = err * 0.6, err * 0.2
-    reads = [(f"r{i}", sample_read(rng, genome.codes, read_len, snp=snp,
-                                   ins=ind, dele=ind).codes)
-             for i in range(n_reads)]
+    if kind == "contig":
+        reads = _sim_contigs(rng, genome, n_reads, read_len,
+                             dele=5000, ins=2000)
+    else:
+        snp, ind = err * 0.6, err * 0.2
+        reads = [(f"r{i}", sample_read(rng, genome.codes, read_len, snp=snp,
+                                       ins=ind, dele=ind).codes)
+                 for i in range(n_reads)]
+    starts = genome.starts()
     with open(os.path.join(workdir, "ref.fa"), "w") as f:
-        f.write(">chr1\n" + sequtils.decode(genome.codes) + "\n")
+        for ci in range(genome.nseq):
+            chrom = genome.codes[starts[ci]:genome.ends[ci]]
+            f.write(f">{genome.names[ci]}\n" + sequtils.decode(chrom) + "\n")
     with open(os.path.join(workdir, "reads.fa"), "w") as f:
         for name, codes in reads:
             f.write(f">{name}\n" + sequtils.decode(codes) + "\n")
-    batches = [reads[i:i + sub] for i in range(0, n_reads, sub)]
 
     genome_li = None
     if kind != "ccs":
@@ -146,67 +207,87 @@ def _setup_workload(kind, seed, n_reads, read_len, err, sub, workers=2):
             genome, k=min(opts.local_k, 10), w=opts.local_w,
             window=opts.local_index_window, max_freq=opts.local_max_freq)
 
-    def once():
-        for _ in align_stream(batches, genome, idx, opts, use_device=True,
-                              genome_li=genome_li, workers=workers):
-            pass
+    if kind == "contig":
+        def once():
+            align_reads(reads, genome, idx, opts, use_device=True,
+                        genome_li=genome_li)
+    else:
+        batches = [reads[i:i + sub] for i in range(0, n_reads, sub)]
+
+        def once():
+            for _ in align_stream(batches, genome, idx, opts,
+                                  use_device=True, genome_li=genome_li,
+                                  workers=workers):
+                pass
 
     return workdir, once
 
 
 def main():
-    """Interleaved A/B measurement on BOTH headline workloads (CCS and
-    ONT): this host's throughput drifts ~25% run to run, so ours and the
-    reference's timed runs alternate within each iteration (all four
-    sample the same machine states) and each side takes its best."""
+    """Interleaved A/B measurement on ALL FOUR presets (CCS / ONT / CLR /
+    CONTIG): this host's throughput drifts ~25% run to run, so ours and
+    the reference's timed runs alternate within each iteration (every
+    sample shares the same machine states) and each side takes its best.
+    vs_baseline = min over the four per-preset ratios."""
     from lra_tpu import enable_compile_cache
 
     enable_compile_cache()
-    # CCS: 8kb x512 at 0.5% error; ONT: 12kb x256 at 5% error — the
-    # round-2 BASELINE.md configurations
-    ccs_dir, ccs_once = _setup_workload("ccs", 0, N_READS, 8000,
-                                        1.0 / 600 * 3, 256)
-    # 3x128 batches + 4 workers: steady-state pipelining (two r3 stream
-    # sweeps measured workers=2/3/4 at sub=128 as 75.7/82.3/85.7 and
-    # -/-/91.8 r/s; sub=64 and 96 configs were all slower)
-    ont_n = 384
-    ont_dir, ont_once = _setup_workload("ont", 1, ont_n, 12000, 0.05, 128,
-                                        workers=4)
+    # CCS: 8kb x512 at 0.5% error; ONT: 12kb x384 at 5% error; CLR: 10kb
+    # x256 at 12%; CONTIG: 8 x ~500kb with a 5kb DEL + 2kb INS — the
+    # BASELINE.md configurations on the shared chr20-scale genome.
+    # Stream shapes per the round-4 64Mb sweeps: CCS/ONT run one full
+    # double-buffered batch (512x1 at 343.9 vs 2x256 at 265.4 r/s;
+    # 384x1 at 87.4 vs 3x128 wk4 at 70.6 — with the round-4 host-side
+    # fixes, bucket amortization beats pipeline depth); CLR keeps
+    # 128-read sub-batches x 4 workers (70.4 vs 67.4 r/s at 256x1).
+    genome = bench_genome()
+    wl = [
+        ("ccs", "-CCS", N_READS,
+         _setup_workload("ccs", 0, N_READS, 8000, 1.0 / 600 * 3, 512,
+                         genome)),
+        ("ont", "-ONT", 384,
+         _setup_workload("ont", 1, 384, 12000, 0.05, 384, genome)),
+        ("clr", "-CLR", 256,
+         _setup_workload("clr", 2, 256, 10000, 0.12, 128, genome,
+                         workers=4)),
+        ("contig", "-CONTIG", 8,
+         _setup_workload("contig", 3, 8, 500_000, 0.0, 8, genome)),
+    ]
 
     ref = build_reference()
-    ccs_once()  # warm-up (compiles cached persistently)
-    ont_once()
+    for _, _, _, (_, once) in wl:
+        once()  # warm-up (compiles cached persistently)
     if ref is not None:
         try:
-            for d, flag in ((ccs_dir, "-CCS"), (ont_dir, "-ONT")):
+            for _, flag, _, (d, _) in wl:
                 subprocess.run([ref, "index", flag, "ref.fa"], cwd=d,
-                               check=True, capture_output=True, timeout=300)
+                               check=True, capture_output=True, timeout=900)
             best = {}
-            for _ in range(4):
-                for key, fn in (("ccs", ccs_once), ("ont", ont_once)):
+            for _ in range(6):
+                for key, _, _, (_, fn) in wl:
                     dt = _time_ours(fn)
                     best[key] = min(best.get(key, dt), dt)
-                for key, d, flag in (("ccs_ref", ccs_dir, "-CCS"),
-                                     ("ont_ref", ont_dir, "-ONT")):
+                for key, flag, _, (d, _) in wl:
                     dr = _time_reference(ref, d, flag, "reads.fa")
-                    best[key] = min(best.get(key, dr), dr)
-            ccs_rps = N_READS / best["ccs"]
-            ccs_ref = N_READS / best["ccs_ref"]
-            ont_rps = ont_n / best["ont"]
-            ont_ref = ont_n / best["ont_ref"]
-            r_ccs = ccs_rps / ccs_ref
-            r_ont = ont_rps / ont_ref
+                    best[key + "_ref"] = min(best.get(key + "_ref", dr), dr)
+            rps = {k: n / best[k] for k, _, n, _ in wl}
+            ref_rps = {k: n / best[k + "_ref"] for k, _, n, _ in wl}
+            ratios = {k: rps[k] / ref_rps[k] for k, _, _, _ in wl}
+            desc = "; ".join(
+                f"{k.upper()} {rps[k]:.1f} r/s = {ratios[k]:.3f}x of "
+                f"reference at {ref_rps[k]:.1f} r/s" for k, _, _, _ in wl)
             print(json.dumps({
-                "metric": "ccs+ont_reads_per_s_e2e",
-                "value": round(ccs_rps, 3),
-                "unit": ("reads/s CCS (8kb x512, 2Mb genome, 1 chip, 2x256"
-                         " pipelined, A/B-interleaved best-of-4; CCS "
-                         f"{r_ccs:.3f}x of reference lra -t 1 at "
-                         f"{ccs_ref:.1f} r/s; ONT 12kb 5%-err x384 3x128: "
-                         f"{ont_rps:.1f} r/s = {r_ont:.3f}x of reference "
-                         f"at {ont_ref:.1f} r/s; vs_baseline = min(CCS, "
-                         "ONT) ratio)"),
-                "vs_baseline": round(min(r_ccs, r_ont), 3),
+                "metric": "four_preset_reads_per_s_e2e",
+                "value": round(rps["ccs"], 3),
+                "unit": (f"reads/s CCS ({GENOME_MB}Mb chr20-scale "
+                         "repeat-salted genome, 1 chip, A/B-interleaved "
+                         "best-of-6 vs reference lra -t 1 on the same "
+                         "host+data; CCS 8kb x512 double-buffered, ONT "
+                         "12kb 5%-err x384, CLR 10kb 12%-err "
+                         "x256 2x128 wk=4, CONTIG 8 x ~500kb w/ 5kb DEL + "
+                         f"2kb INS; {desc}; vs_baseline = min of the four "
+                         "ratios)"),
+                "vs_baseline": round(min(ratios.values()), 3),
             }))
             return
         except Exception:

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..options import Options
-from ..pipeline.gap_align import GapJob, diag_gap_guard
+from ..pipeline.gap_align import GapJob, diag_gap_guard, job_block_list
 
 
 def plan_end_extension(seg, read_len: int, chrom_len: int) -> None:
@@ -277,11 +277,11 @@ def splice_refined_blocks(seg, jobs: list) -> None:
             # prepend the forced (q0, t0) pair, merging when adjacent
             for (bq, bt, bl) in [(q0, t0, 1)] + [
                     (q0 + 1 + bq, t0 + 1 + bt, bl)
-                    for (bq, bt, bl) in (job.blocks or [])]:
+                    for (bq, bt, bl) in job_block_list(job)]:
                 emit(bq, bt, bl, keep_zero=True)
         elif job is not None:
             emit(q0, t0, 0)   # no-op, keeps structure explicit
-            for (bq, bt, bl) in (job.blocks or []):
+            for (bq, bt, bl) in job_block_list(job):
                 emit(q0 + bq, t0 + bt, bl)
         else:
             # identity region (fast path): original blocks clipped to

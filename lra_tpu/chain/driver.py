@@ -244,7 +244,7 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
         p.V, p.bp, p.lane = chain_scores_np(
             p.qS, p.qE, p.tS, p.tE, p.score, p.lane1, p.lane2, valid, gp)
 
-    from ..parallel.mesh import batch_multiple, place
+    from ..parallel.mesh import batch_multiple, place_many
 
     by_bucket: dict = {}
     windowed: dict = {}
@@ -302,23 +302,21 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                            "qer2", "rank1", "rank2"):
                     sch[k2][b, :n] = s[k2]
                 sch["ins_hi"][b, :len(s["ins_hi"])] = s["ins_hi"]
-            args = tuple(place(a) for a in (
+            args = place_many(
                 qS, qE, tS, tE, sc, l1, l2, valid,
                 sch["perm1"], sch["perm2"], sch["ok1"], sch["ok2"],
                 sch["qer1"], sch["qer2"], sch["rank1"], sch["rank2"],
-                sch["ins_hi"]))
+                sch["ins_hi"])
             for p in plist:
                 p.win_W = win_W
             packed = _chain_packed_windowed(args, key, win_W)
         elif full:
             # async dispatch across all buckets before any download
             packed = _chain_packed(
-                place(qS), place(qE), place(tS), place(tE), place(sc),
-                place(l1), place(l2), place(valid), key)
+                *place_many(qS, qE, tS, tE, sc, l1, l2, valid), key)
         else:
             packed = _chain_packed_masked(
-                place(qS), place(qE), place(tS), place(tE), place(sc),
-                place(l1), place(l2), place(valid), key)
+                *place_many(qS, qE, tS, tE, sc, l1, l2, valid), key)
         pending.append((plist, full or is_win, packed))
     # one flat d2h transfer for all buckets (latency floor per transfer)
     merged = None

@@ -205,6 +205,36 @@ def _scratch_i32(n: int) -> np.ndarray:
     return buf
 
 
+def blocks_from_packed_arrays(packed: np.ndarray):
+    """blocks_from_packed without the python-list materialization:
+    returns (flat int32[total, 3] COPY, counts int32[B]) — job b's
+    blocks are flat[offs[b]:offs[b]+counts[b]] with offs = cumsum
+    exclusive — or None if the native library is unavailable.  The hot
+    consumers (_insert_gap_blocks) take the rows as arrays; cold ones
+    call .tolist() per job, same cost as before."""
+    lib = _load()
+    if not lib:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    B, L4 = packed.shape
+    counts = np.empty(B, np.int32)
+    hard_cap = B * (2 * L4 + 1)
+    cap = min(96, 2 * L4 + 1) * B + 1024
+    total = -1
+    while total < 0:
+        out = _scratch_i32(cap * 3)
+        total = lib.lrn_blocks_packed(
+            packed.ctypes.data_as(ctypes.c_void_p), B, L4,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            counts.ctypes.data_as(ctypes.c_void_p))
+        if total < 0:
+            if cap >= hard_cap:
+                return None
+            cap = min(cap * 8, hard_cap)
+    # copy out of the shared scratch: the next bucket's decode reuses it
+    return out[:total * 3].reshape(-1, 3).copy(), counts
+
+
 def blocks_from_packed(packed: np.ndarray):
     """Decode a [B, L4] bucket of 2-bit packed device-traceback planes
     into B block lists in one C pass (identical output to

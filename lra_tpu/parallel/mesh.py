@@ -82,6 +82,19 @@ def place(a):
     return jax.device_put(a, NamedSharding(mesh, spec))
 
 
+def place_many(*arrays):
+    """place() for several arrays in ONE jax.device_put call — the
+    batched transfer path costs one dispatch instead of len(arrays)
+    (a bucket dispatch site moves 5-17 small arrays; per-call overhead
+    dominated the host->device side of small buckets)."""
+    mesh = _ACTIVE[0]
+    if mesh is None:
+        return tuple(jax.device_put(list(arrays)))
+    shardings = [NamedSharding(mesh, P("dp", *([None] * (np.ndim(a) - 1))))
+                 for a in arrays]
+    return tuple(jax.device_put(list(arrays), shardings))
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Place [B, ...] arrays with the batch axis sharded over 'dp'."""
     out = []

@@ -107,6 +107,19 @@ class GapJob:
     path: np.ndarray | None = None
 
 
+def job_block_list(job) -> list:
+    """job.blocks as a list of [q_off, t_off, len] triples.  The device
+    decode assigns int32[n, 3] array views (blocks_from_packed_arrays);
+    host paths assign lists.  Hot consumers take the array directly;
+    this is the adapter for the per-triple-iteration ones."""
+    bl = job.blocks
+    if bl is None:
+        return []
+    if isinstance(bl, np.ndarray):
+        return bl.tolist()
+    return bl
+
+
 def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
                    tag: str = "gap_align") -> None:
     """Fills job.blocks with [(q_off, t_off, len)] relative to gap start.
@@ -325,7 +338,7 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
         for (job, _), bl in zip(small_jobs, blocks):
             job.blocks = bl
 
-    from ..parallel.mesh import batch_multiple, place
+    from ..parallel.mesh import batch_multiple, place_many
 
     pending = []
     for (K, S, refine), items in device_jobs.items():
@@ -350,10 +363,10 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
         if use_device and refine:
             # refine DP + lane-aware device traceback; same packed op
             # format, so the merged download and unpack path are shared
+            dq, dt, dql, dtl, dkb = place_many(q, t, qlen, tlen, kband)
             ops = banded_refine_traced_packed(
-                place(q), place(t), place(qlen), place(tlen), K,
-                opts.local_match, opts.local_mismatch,
-                opts.local_indel, kband=place(kband))
+                dq, dt, dql, dtl, K, opts.local_match, opts.local_mismatch,
+                opts.local_indel, kband=dkb)
             pending.append((None, items, qlen, tlen, ops))
         elif not use_device and refine:
             _sc, planes = banded_refine_np(
@@ -367,17 +380,16 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             # narrow band tier; wide tiers use the XLA path.
             use_pallas = (opts.use_pallas and _pallas_ok()
                           and pallas_supported(S, K, B))
+            dq, dt, dql, dtl, dkb = place_many(q, t, qlen, tlen, kband)
             if use_pallas:
                 P = banded_pallas_rowsync(
-                    place(q), place(t), place(qlen), place(tlen), K,
-                    opts.local_match, opts.local_mismatch,
-                    opts.local_indel, kband=place(kband))
+                    dq, dt, dql, dtl, K, opts.local_match,
+                    opts.local_mismatch, opts.local_indel, kband=dkb)
                 pending.append(("rowsync", items, qlen, tlen, (P, S)))
             else:
                 ops = banded_global_traced_packed(
-                    place(q), place(t), place(qlen), place(tlen), K,
-                    opts.local_match, opts.local_mismatch,
-                    opts.local_indel, kband=place(kband))
+                    dq, dt, dql, dtl, K, opts.local_match,
+                    opts.local_mismatch, opts.local_indel, kband=dkb)
                 pending.append((None, items, qlen, tlen, ops))
         else:
             _score, arrows = banded_global_np(
@@ -407,9 +419,10 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             kbs.append(1)
         qh, th, qt_, tt_, qlen, tlen = pack_one_gap_bucket(qs, ts, Kc, Dc)
         L = 2 * (Dc + Kc) + 8
+        dargs = place_many(qh, th, qt_, tt_, qlen, tlen,
+                           np.asarray(kbs, np.int32))
         ops, jump, _sc = one_gap_traced(
-            place(qh), place(th), place(qt_), place(tt_), place(qlen),
-            place(tlen), place(np.asarray(kbs, np.int32)), Kc, Dc,
+            *dargs, Kc, Dc,
             opts.local_match, opts.local_mismatch, opts.local_indel, L)
         ops_u8 = ops.astype(jnp.uint8)
         jump_u8 = jnp.concatenate(
@@ -455,12 +468,21 @@ def solve_gap_jobs(jobs: list, opts: Options, use_device: bool = True,
             off += size
             # padded rows beyond the real jobs carry no alignment — skip
             # their unpack/cumsum cost (B is pow2-padded, up to 2x waste)
-            blocks = native.blocks_from_packed(plane[:len(items)])
-            if blocks is None:
+            res = native.blocks_from_packed_arrays(plane[:len(items)])
+            if res is not None:
+                # assign int32[n,3] array views — the hot consumer
+                # (_insert_gap_blocks) takes arrays, cold ones .tolist()
+                flat, counts = res
+                off_b = 0
+                for b, (job, kb) in enumerate(items):
+                    c = int(counts[b])
+                    job.blocks = flat[off_b:off_b + c]
+                    off_b += c
+            else:
                 blocks = blocks_from_ops_batch(
                     unpack_ops(plane[:len(items)], mark_term=False))
-            for b, (job, kb) in enumerate(items):
-                job.blocks = blocks[b]
+                for b, (job, kb) in enumerate(items):
+                    job.blocks = blocks[b]
         elif K == "refine_np":
             for b, (job, kb) in enumerate(items):
                 job.blocks = traceback_refine(buf[b], int(qlen[b]),

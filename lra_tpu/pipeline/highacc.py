@@ -860,19 +860,40 @@ def _assemble_segments(st, ch, ac: AnchorChain, exts, genome, opts,
 def _insert_gap_blocks(seg: Segment, jobs: list) -> None:
     """Splice solved gap blocks (relative coords) into the segment's block
     list and restore (q, t) order."""
+    arr_parts = []
     for job in jobs:
         q_off, t_off = job.key[3], job.key[4]
-        for (bq, bt, bl) in job.blocks or []:
-            seg.blocks.append((q_off + bq, t_off + bt, bl))
-    if len(seg.blocks) <= 1:
+        bl = job.blocks
+        if bl is None or len(bl) == 0:
+            continue
+        if isinstance(bl, np.ndarray):
+            # device-decode path: offset the int32[n,3] rows vectorized
+            a = bl.astype(np.int64)
+            a[:, 0] += q_off
+            a[:, 1] += t_off
+            arr_parts.append(a)
+            continue
+        for (bq, bt, ln) in bl:
+            seg.blocks.append((q_off + bq, t_off + bt, ln))
+    if arr_parts:
+        own = np.asarray(seg.blocks, np.int64).reshape(-1, 3) \
+            if seg.blocks else np.zeros((0, 3), np.int64)
+        a = np.concatenate([own] + arr_parts)
+    elif len(seg.blocks) > 1:
+        a = np.asarray(seg.blocks, np.int64)
+    else:
+        return
+    if len(a) <= 1:
+        seg.blocks = list(map(tuple, a.tolist()))
         return
     # vectorized fast path: already sorted + q/t-monotone (the common
     # case) needs no work; one lexsort otherwise, and the defensive
     # drop-out-of-order scan only runs when a violation survives the sort
-    a = np.asarray(seg.blocks, np.int64)
     q, t, ln = a[:, 0], a[:, 1], a[:, 2]
     if bool(np.all((q[1:] >= q[:-1] + ln[:-1])
                    & (t[1:] >= t[:-1] + ln[:-1]))):
+        if arr_parts:
+            seg.blocks = list(map(tuple, a.tolist()))
         return
     a = a[np.lexsort((t, q))]
     q, t, ln = a[:, 0], a[:, 1], a[:, 2]

@@ -327,9 +327,11 @@ def _box_seeds(tk: BoxTask, opts: Options, strand: int, qs: int, qe: int,
     or via the large-box minimizer reseed."""
     strands = [tk.read_codes, tk.read_rc]
     if job is not None:
+        from .gap_align import job_block_list
+
         qseq = strands[strand][qs:qe]
         tseq = tk.chrom_codes[tk.ts:tk.te]
-        qp, tp, _ = _harvest_blocks(job.blocks or [], qseq, tseq, tk.K)
+        qp, tp, _ = _harvest_blocks(job_block_list(job), qseq, tseq, tk.K)
         return qp + qs, tp + tk.ts
     band = _space_diag(opts, qe - qs)
     qp, tp, _ = refine_space(tk.K, tk.W, band, None, tk.chrom_codes,
