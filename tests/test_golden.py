@@ -75,6 +75,18 @@ def _run_reference(ref_bin, tmp_path, flag: str) -> dict:
     return _parse_sam(out.stdout)
 
 
+_REF_CACHE: dict = {}
+
+
+def _run_reference_cached(key, ref_bin, tmp_path, flag: str) -> dict:
+    """Reference rows for a deterministic (key, flag) workload — cached
+    so use_device parametrizations don't re-run the binary."""
+    ck = (key, flag)
+    if ck not in _REF_CACHE:
+        _REF_CACHE[ck] = _run_reference(ref_bin, tmp_path, flag)
+    return _REF_CACHE[ck]
+
+
 def _run_ours(genome, reads, opts, use_device, with_li=True) -> dict:
     idx = build_global_index(genome, opts)
     li = None
@@ -155,21 +167,24 @@ def test_golden_ccs_device(ref_bin, tmp_path):
              tag_values=True)
 
 
-def test_golden_ccs_bit_identity(ref_bin, tmp_path):
+@pytest.mark.parametrize("use_device", [False, True])
+def test_golden_ccs_bit_identity(ref_bin, tmp_path, use_device):
     """VERDICT r2 item 3: >= 9/10 clean CCS reads bit-identical to the
     reference in pos+flag+CIGAR+NM, and on EVERY shared read our
     alignment value NV is >= the reference's — the one known residual is
     a read where our refine DP (a rectangular-band superset of the
     reference's shaped band, indel_refine.py docstring) finds a
-    strictly better-scoring alignment than the reference does."""
+    strictly better-scoring alignment than the reference does.
+    Parametrized over use_device (VERDICT r3 item 3): the device-kernel
+    path must hold the same floor as the host path."""
     rng = np.random.default_rng(42)
     g = random_genome(rng, 300000)
     reads = _sim_reads(rng, g, 10, 6000, 0.002)
     _write_inputs(tmp_path, g, reads)
-    ref_rows = _run_reference(ref_bin, tmp_path, "-CCS")
+    ref_rows = _run_reference_cached("bitid_ccs", ref_bin, tmp_path, "-CCS")
     assert len(ref_rows) == 10
     genome = Genome.from_seqs([("chr1", g)])
-    ours = _run_ours(genome, reads, preset("ccs"), use_device=False)
+    ours = _run_ours(genome, reads, preset("ccs"), use_device=use_device)
     ident = 0
     for name, (rpos, rflag, rcig, rtags) in ref_rows.items():
         assert name in ours, name
@@ -182,7 +197,8 @@ def test_golden_ccs_bit_identity(ref_bin, tmp_path):
     assert ident >= 9, ident
 
 
-def test_golden_ont_bit_identity(ref_bin, tmp_path):
+@pytest.mark.parametrize("use_device", [False, True])
+def test_golden_ont_bit_identity(ref_bin, tmp_path, use_device):
     """Round-3 lowacc parity: >= 9/10 5%-error ONT reads bit-identical
     to the reference in pos+flag+CIGAR+NM (measured 10/10 on this seed;
     7/10 on seed 7), and NV equal-or-better on every shared read.  The
@@ -201,10 +217,10 @@ def test_golden_ont_bit_identity(ref_bin, tmp_path):
     g = random_genome(rng, 300000)
     reads = _sim_reads(rng, g, 10, 12000, 0.05)
     _write_inputs(tmp_path, g, reads)
-    ref_rows = _run_reference(ref_bin, tmp_path, "-ONT")
+    ref_rows = _run_reference_cached("bitid_ont", ref_bin, tmp_path, "-ONT")
     assert len(ref_rows) == 10
     genome = Genome.from_seqs([("chr1", g)])
-    ours = _run_ours(genome, reads, preset("ont"), use_device=False)
+    ours = _run_ours(genome, reads, preset("ont"), use_device=use_device)
     ident = 0
     for name, (rpos, rflag, rcig, rtags) in ref_rows.items():
         assert name in ours, name
@@ -217,7 +233,8 @@ def test_golden_ont_bit_identity(ref_bin, tmp_path):
     assert ident >= 9, ident
 
 
-def test_golden_clr_bit_identity(ref_bin, tmp_path):
+@pytest.mark.parametrize("use_device", [False, True])
+def test_golden_clr_bit_identity(ref_bin, tmp_path, use_device):
     """CLR (12% error) bit-identity: measured 7/10 reads identical in
     pos+flag+CIGAR+NM on this seed.  The three residuals are all
     read-END extension geometry — the reference aligns a handful more
@@ -232,10 +249,10 @@ def test_golden_clr_bit_identity(ref_bin, tmp_path):
     g = random_genome(rng, 300000)
     reads = _sim_reads(rng, g, 10, 9000, 0.12)
     _write_inputs(tmp_path, g, reads)
-    ref_rows = _run_reference(ref_bin, tmp_path, "-CLR")
+    ref_rows = _run_reference_cached("bitid_clr", ref_bin, tmp_path, "-CLR")
     assert len(ref_rows) == 10
     genome = Genome.from_seqs([("chr1", g)])
-    ours = _run_ours(genome, reads, preset("clr"), use_device=False)
+    ours = _run_ours(genome, reads, preset("clr"), use_device=use_device)
     ident = 0
     for name, (rpos, rflag, rcig, rtags) in ref_rows.items():
         assert name in ours, name
