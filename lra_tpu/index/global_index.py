@@ -203,15 +203,44 @@ def _sort_filter_partitioned(part_iter, k: int, opts: Options):
             np.concatenate(out_s), np.concatenate(out_f))
 
 
+# survivor counts beyond this take position-chunked window thinning:
+# the full-array rank/sort transients (half a dozen int64 vectors of
+# n entries each) were the residual RSS spike of a 3Gb build
+_THIN_CHUNK_THRESHOLD = 64_000_000
+
+
 def _window_thin(pos: np.ndarray, freq: np.ndarray, opts: Options):
     """Per-window thinning of the survivors (reference: MMIndex.h:358-376):
     rank survivors by (freq asc, tuple-sorted index desc) — matching
     CountSort's stable placement order — and keep the first
     num_minimizers_per_window per global_winsize genome window.
-    Returns a boolean mask over the survivor rows."""
+    Returns a boolean mask over the survivor rows.
+
+    Thinning is independent per genome window, and the rank among
+    equal-freq survivors of one window is preserved by any
+    order-preserving subset, so large builds process position-range
+    chunks (aligned to window boundaries) independently and
+    bit-identically, bounding the sort transients to a chunk's share."""
     n = len(pos)
     if n == 0:
         return np.zeros(0, bool)
+    if n > _THIN_CHUNK_THRESHOLD:
+        winsize = opts.global_winsize
+        win_all = pos // np.uint32(winsize)
+        maxwin = int(win_all.max()) + 1
+        nchunks = max(1, (n + _THIN_CHUNK_THRESHOLD // 8 - 1)
+                      // (_THIN_CHUNK_THRESHOLD // 8))
+        final = np.zeros(n, bool)
+        for c in range(nchunks):
+            lo_w = c * maxwin // nchunks
+            hi_w = (c + 1) * maxwin // nchunks
+            sel = np.nonzero((win_all >= lo_w) & (win_all < hi_w))[0]
+            if not len(sel):
+                continue
+            sub = _window_thin(pos[sel], freq[sel], opts)
+            final[sel[sub]] = True
+            del sel, sub
+        return final
     from .. import native
 
     # (freq asc, index desc): stable argsort of the reversed array;

@@ -85,6 +85,7 @@ def test_partitioned_build_bit_identical(rng, monkeypatch):
     opts = preset("ccs")
     direct = gi.build_global_index(g, opts)
     monkeypatch.setattr(gi, "_PARTITION_THRESHOLD_BP", 1000)
+    monkeypatch.setattr(gi, "_THIN_CHUNK_THRESHOLD", 500)
     part = gi.build_global_index(g, opts)
     assert part.k == direct.k
     np.testing.assert_array_equal(part.tuples, direct.tuples)
