@@ -235,16 +235,16 @@ def test_golden_ont_bit_identity(ref_bin, tmp_path, use_device):
 
 @pytest.mark.parametrize("use_device", [False, True])
 def test_golden_clr_bit_identity(ref_bin, tmp_path, use_device):
-    """CLR (12% error) bit-identity: measured 7/10 reads identical in
-    pos+flag+CIGAR+NM on this seed.  The three residuals are all
-    read-END extension geometry — the reference aligns a handful more
-    bases past the outermost anchors (r5: 10 extra exactly-matching
-    head bases; r8: 29 extra tail bases through 1I+1X; r9: one extra
-    tail match), with NM within 2 and NV within 25 of ours.  At 12%
-    error the end-anchor sets themselves differ slightly (the
-    documented minimizer tie-break delta compounds with error density),
-    so unlike CCS/ONT the NV>=ref invariant does not hold on every
-    read; the floor asserts what is measured."""
+    """CLR (12% error) bit-identity: measured 8/10 reads identical in
+    pos+flag+CIGAR+NM on this seed after the round-4 parity fixes
+    (exact reference minimizer emission + 2048bp local-index windows);
+    across 5 seeds at the 12kb golden_diff config CLR measures
+    10/9/10/9/10.  The residuals are read-END extension geometry — the
+    reference aligns a handful more bases past the outermost anchors,
+    with NM within 2 and NV within 25 of ours.  At 12% error the
+    end-anchor seed sets still differ slightly near read ends, so
+    unlike CCS/ONT the NV>=ref invariant does not hold on every read;
+    the floor asserts what is measured."""
     rng = np.random.default_rng(42)
     g = random_genome(rng, 300000)
     reads = _sim_reads(rng, g, 10, 9000, 0.12)
@@ -266,7 +266,7 @@ def test_golden_clr_bit_identity(ref_bin, tmp_path, use_device):
             assert abs(opos - rpos) <= 16, (name, opos, rpos)
             assert oflag == rflag, name
             assert abs(int(otags["NM"]) - int(rtags["NM"])) <= 4, name
-    assert ident >= 7, ident
+    assert ident >= 8, ident
 
 
 def test_golden_ont(ref_bin, tmp_path):
