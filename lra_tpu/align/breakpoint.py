@@ -178,17 +178,22 @@ def refine_breakpoint(left, right, read_len: int,
         else:
             mapped = [(q_lo + bq, t_lo + bt, bl) for (bq, bt, bl) in blocks]
             seg.blocks.extend(mapped)
-        # merge adjacency + enforce monotonicity
+        # merge adjacency + enforce monotonicity; zero-length op-order
+        # markers (see splice_refined_blocks) pass through in-order
         out = []
         pq = pt = -1
         for (bq, bt, bl) in seg.blocks:
-            if bq >= pq and bt >= pt and bl > 0:
+            if bq >= pq and bt >= pt and bl >= 0:
                 if out and out[-1][0] + out[-1][2] == bq and \
                    out[-1][1] + out[-1][2] == bt:
-                    out[-1] = (out[-1][0], out[-1][1], out[-1][2] + bl)
-                else:
+                    if bl > 0:
+                        out[-1] = (out[-1][0], out[-1][1],
+                                   out[-1][2] + bl)
+                elif bl > 0 or out:
                     out.append((bq, bt, bl))
                 pq, pt = bq + bl, bt + bl
+        while out and out[-1][2] == 0:
+            out.pop()
         seg.blocks = out
 
     if l_prefix:

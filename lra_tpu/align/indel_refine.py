@@ -301,10 +301,19 @@ def splice_refined_blocks(seg, jobs: list) -> None:
         bq, bt, bl = blocks[b]
         s0 = consumed if b == i else 0
         emit(bq + s0, bt + s0, bl - s0)
+    # boundary zero-length blocks carry no ordering information (no gap
+    # on one side) — markers are only meaningful between two gap runs
+    while out and out[0][2] == 0:
+        out.pop(0)
+    while out and out[-1][2] == 0:
+        out.pop()
     a = np.asarray(out, np.int64)
     if len(a):
         q, t, ln = a[:, 0], a[:, 1], a[:, 2]
-        if bool(np.all(ln > 0)) and bool(
+        # zero-length op-order markers are legal rows (ln == 0) and must
+        # survive to blocks_to_op_arrays, which splits the junction gap
+        # around them so a D-run-then-I-run doesn't flip to I-then-D
+        if bool(np.all(ln >= 0)) and bool(
                 np.all((q[1:] >= q[:-1] + ln[:-1])
                        & (t[1:] >= t[:-1] + ln[:-1]))):
             seg.blocks = out
@@ -312,7 +321,11 @@ def splice_refined_blocks(seg, jobs: list) -> None:
     clean = []
     pq = pt = -1
     for (bq, bt, bl) in out:
-        if bq >= pq and bt >= pt and bl > 0:
+        if bq >= pq and bt >= pt and bl >= 0:
             clean.append((bq, bt, bl))
             pq, pt = bq + bl, bt + bl
+    while clean and clean[0][2] == 0:
+        clean.pop(0)
+    while clean and clean[-1][2] == 0:
+        clean.pop()
     seg.blocks = clean

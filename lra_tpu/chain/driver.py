@@ -370,7 +370,7 @@ def _solve_batch(problems: list, gp: GapParams, use_device: bool = True):
                     int(i), p.qS, p.qE, p.tS, p.tE, p.V,
                     np.asarray(p.lane1, bool), np.asarray(p.lane2, bool),
                     np.ones(n, bool), 1 if p.bp[i] == -2 else 2, WIN_L,
-                    p.win_W)
+                    p.win_W, N=packed.shape[-1])
     if devstats.ENABLED:
         devstats.record(
             "chain_sdp", buckets=len(pending),

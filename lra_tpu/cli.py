@@ -152,7 +152,8 @@ def cmd_index(argv, which: str = "index") -> int:
                                       w=opts.local_w,
                                       window=opts.local_index_window,
                                       max_freq=opts.local_max_freq,
-                                      threads=args.threads)
+                                      threads=args.threads,
+                                      exact=opts.exact_ref_minimizers)
         li.save(args.ref + ".ldx")
         print(f"local index: {len(li.tuples)} minimizers in "
               f"{time.time()-t0:.1f}s -> {args.ref}.ldx", file=sys.stderr)
@@ -191,7 +192,8 @@ def cmd_align(argv) -> int:
         build_genome_local_index(genome, k=min(opts.local_k, 10),
                                  w=opts.local_w,
                                  window=opts.local_index_window,
-                                 max_freq=opts.local_max_freq)
+                                 max_freq=opts.local_max_freq,
+                                 exact=opts.exact_ref_minimizers)
     if not args.cpu:
         enable_compile_cache()
 
@@ -356,7 +358,8 @@ def cmd_qti(argv) -> int:
     li = build_genome_local_index(genome, k=min(opts.local_k, 10),
                                   w=opts.local_w,
                                   window=opts.local_index_window,
-                                  max_freq=opts.local_max_freq)
+                                  max_freq=opts.local_max_freq,
+                                  exact=opts.exact_ref_minimizers)
     tm = Timing()
     n = 0
     t0 = time.time()

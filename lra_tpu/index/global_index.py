@@ -227,20 +227,29 @@ def _window_thin(pos: np.ndarray, freq: np.ndarray, opts: Options):
     if n > _THIN_CHUNK_THRESHOLD:
         winsize = opts.global_winsize
         win_all = pos // np.uint32(winsize)
+        minwin = int(win_all.min())
         maxwin = int(win_all.max()) + 1
+        span = maxwin - minwin
         nchunks = max(1, (n + _THIN_CHUNK_THRESHOLD // 8 - 1)
                       // (_THIN_CHUNK_THRESHOLD // 8))
-        final = np.zeros(n, bool)
-        for c in range(nchunks):
-            lo_w = c * maxwin // nchunks
-            hi_w = (c + 1) * maxwin // nchunks
-            sel = np.nonzero((win_all >= lo_w) & (win_all < hi_w))[0]
-            if not len(sel):
-                continue
-            sub = _window_thin(pos[sel], freq[sel], opts)
-            final[sel[sub]] = True
-            del sel, sub
-        return final
+        # recursion progress requires the window range to be rebased to
+        # the survivors' own [minwin, maxwin) and splittable into >= 2
+        # nonoverlapping pieces; a chunk whose survivors all share one
+        # window (span 1) falls through to the direct path — with span
+        # >= 2 and nchunks >= 2 every chunk range is a strict subset, so
+        # each level strictly shrinks and the recursion terminates
+        if span >= 2 and nchunks >= 2:
+            final = np.zeros(n, bool)
+            for c in range(nchunks):
+                lo_w = minwin + c * span // nchunks
+                hi_w = minwin + (c + 1) * span // nchunks
+                sel = np.nonzero((win_all >= lo_w) & (win_all < hi_w))[0]
+                if not len(sel):
+                    continue
+                sub = _window_thin(pos[sel], freq[sel], opts)
+                final[sel[sub]] = True
+                del sel, sub
+            return final
     from .. import native
 
     # (freq asc, index desc): stable argsort of the reversed array;

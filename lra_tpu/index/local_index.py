@@ -115,19 +115,22 @@ def build_local_index(codes: np.ndarray, k: int = 10, w: int = 5,
 
 def build_genome_local_index(genome, k: int = 10, w: int = 5,
                              window: int = 2048, max_freq: int = 15,
-                             threads: int = 1) -> LocalIndex:
+                             threads: int = 1,
+                             exact: bool = True) -> LocalIndex:
     """Concatenated per-chromosome local index in global coordinates.
 
     threads > 1 builds chromosomes in parallel (the native builder is a
     ctypes call, GIL released); collection order is chromosome order, so
-    the result is identical at any thread count.
+    the result is identical at any thread count.  ``exact`` must match
+    the read-side local-index builds (Options.exact_ref_minimizers).
     """
 
     def _one(ci: int):
         start = 0 if ci == 0 else int(genome.ends[ci - 1])
         end = int(genome.ends[ci])
         return build_local_index(genome.codes[start:end], k, w,
-                                 window, max_freq, offset=start)
+                                 window, max_freq, offset=start,
+                                 exact=exact)
 
     if threads > 1 and genome.nseq > 1:
         from concurrent.futures import ThreadPoolExecutor

@@ -60,6 +60,18 @@ def _pair_cost(d_i, d_j, pwl_key):
     return -pwl_select_jnp(jnp.abs(d_i - d_j) + 1, pwl_key)
 
 
+def _refresh_blocks(L: int, W: int, N: int) -> int:
+    """Far-structure refresh cadence in blocks: R = W/(2L), halved until
+    it divides the block count N/L.  The kernel schedules refreshes with
+    this R and resolve_far_np reconstructs round boundaries from it —
+    both MUST call this one function."""
+    nb = max(1, N // L)
+    R = max(1, W // (2 * L))
+    while nb % R:
+        R //= 2
+    return R
+
+
 def far_schedule(qS, qE, tS, tE, lane1, lane2, valid, L):
     """Host precompute of the far-term structures for ONE problem
     (1-D numpy arrays, fragments sorted by qS).
@@ -130,10 +142,12 @@ def chain_scores_windowed(qS, qE, tS, tE, score, lane1, lane2, valid,
     p_valid = fpad(valid, False)
 
     # far-structure refresh cadence: R*L <= W/2 keeps every
-    # fragment finalized since the refresh inside the exact near window
-    R = max(1, W // (2 * L))
-    while nb % R:
-        R //= 2
+    # fragment finalized since the refresh inside the exact near window.
+    # nb must divide into whole rounds, so R shrinks for small nb;
+    # resolve_far_np derives the SAME R via _refresh_blocks(L, W, N) to
+    # reconstruct the refresh-round boundary a sentinel was scored
+    # against — keep the two derivations in lockstep
+    R = _refresh_blocks(L, W, N)
 
     def blk(a, b0, ln=L):
         return jax.lax.dynamic_slice_in_dim(a, b0, ln, axis=1)
@@ -286,11 +300,15 @@ def chain_scores_windowed(qS, qE, tS, tE, score, lane1, lane2, valid,
 
 
 def resolve_far_np(i, qS, qE, tS, tE, V, lane1, lane2, valid, which,
-                   L=64, W=4096):
+                   L=64, W=4096, N=None):
     """Host resolution of a FAR1/FAR2 sentinel at q-rank i: the argmax the
     device's far term saw (its schedule: qE_j <= qS at the refresh-round
-    start, t-dominance, lane), so the chain stays consistent with V."""
-    R = max(1, W // (2 * L))
+    start, t-dominance, lane), so the chain stays consistent with V.
+    ``N`` is the PADDED fragment count the kernel ran with (defaults to
+    len(qS) rounded up to a block) — it fixes the refresh cadence R."""
+    if N is None:
+        N = ((len(qS) + L - 1) // L) * L
+    R = _refresh_blocks(L, W, N)
     b0 = (i // (L * R)) * (L * R)
     vis = valid & (qE <= qS[b0])
     if which == 1:

@@ -377,10 +377,12 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
                     st._read_li = [
                         build_local_index(st.codes, genome_li.k,
                                           genome_li.w, genome_li.window,
-                                          opts.local_max_freq),
+                                          opts.local_max_freq,
+                                          exact=opts.exact_ref_minimizers),
                         build_local_index(st.rc, genome_li.k,
                                           genome_li.w, genome_li.window,
-                                          opts.local_max_freq)]
+                                          opts.local_max_freq,
+                                          exact=opts.exact_ref_minimizers)]
                 cls = [c for c, _ in seg_clusters]
                 # lowacc reseed: sow=500 read-boundary widening + the
                 # +-50 diagonal band (reference: ChainRefine.h:426-427,

@@ -59,9 +59,11 @@ def refine_clusters(clusters: list, genome, genome_li: LocalIndex,
         end_margin = window
     if read_li is None:
         read_li = [build_local_index(read_codes, k, genome_li.w,
-                                     genome_li.window, opts.local_max_freq),
+                                     genome_li.window, opts.local_max_freq,
+                                     exact=opts.exact_ref_minimizers),
                    build_local_index(read_rc, k, genome_li.w,
-                                     genome_li.window, opts.local_max_freq)]
+                                     genome_li.window, opts.local_max_freq,
+                                     exact=opts.exact_ref_minimizers)]
     starts = genome.starts()
     refined = []
     for c in clusters:

@@ -96,3 +96,31 @@ def test_partitioned_build_bit_identical(rng, monkeypatch):
     part2 = gi.build_global_index(g, opts, threads=3)
     np.testing.assert_array_equal(part2.tuples, direct.tuples)
     np.testing.assert_array_equal(part2.pos, direct.pos)
+
+
+def test_window_thin_chunked_skewed_terminates(rng, monkeypatch):
+    """Chunked _window_thin on skewed survivor distributions (all
+    survivors flush against the top of the window range) must terminate
+    and match the direct path — the un-rebased chunk ranges used to
+    recurse forever on this shape (advisor r4 medium #1)."""
+    from lra_tpu.index import global_index as gi
+
+    opts = preset("ccs")
+    w = opts.global_winsize
+    # 2000 survivors all inside the LAST two windows of a wide range:
+    # window 0 holds one survivor (pins minwin low), the rest sit at the
+    # top so every un-rebased split put them all in the final chunk
+    pos = np.concatenate([
+        np.asarray([3], np.uint32),
+        (rng.integers(998 * w, 1000 * w, 1999)).astype(np.uint32)])
+    freq = rng.integers(1, 6, len(pos)).astype(np.int32)
+    pos1 = np.full(500, 5 * w + 2, np.uint32)
+    freq1 = rng.integers(1, 6, 500).astype(np.int32)
+    direct = gi._window_thin(pos, freq, opts)
+    direct1 = gi._window_thin(pos1, freq1, opts)
+    monkeypatch.setattr(gi, "_THIN_CHUNK_THRESHOLD", 100)
+    np.testing.assert_array_equal(gi._window_thin(pos, freq, opts), direct)
+    # single-window pile bigger than the threshold: falls through to the
+    # direct path (span 1 cannot be split) instead of recursing
+    np.testing.assert_array_equal(gi._window_thin(pos1, freq1, opts),
+                                  direct1)
