@@ -13,6 +13,7 @@ back to the host-numpy pipeline ratio if the reference cannot be built.
 import json
 import os
 import subprocess
+import sys
 import time
 
 import numpy as np
@@ -291,14 +292,28 @@ def main():
             }))
             return
         except Exception:
-            pass
+            # NEVER let a reference failure silently change what
+            # vs_baseline measures: stamp the fallback in the JSON and
+            # put the traceback on stderr
+            import traceback
+            traceback.print_exc()
+            print("bench: REFERENCE A/B FAILED — falling back to the "
+                  "host-numpy baseline; vs_baseline below is NOT a "
+                  "reference ratio", file=sys.stderr)
+    else:
+        print("bench: reference build unavailable — vs_baseline below "
+              "is the host-numpy ratio, NOT a reference ratio",
+              file=sys.stderr)
     reads_per_s, _, _ = run(device=True)
     host_rps, _, _ = run(device=False)
     print(json.dumps({
-        "metric": "ccs_reads_per_s_e2e",
+        "metric": "ccs_reads_per_s_e2e_REFERENCE_AB_FAILED",
         "value": round(reads_per_s, 3),
         "unit": ("reads/s (8kb CCS-like x512, 2Mb genome, 1 chip, 2x256 "
-                 "pipelined; baseline = host-numpy pipeline)"),
+                 "pipelined; baseline = host-numpy pipeline — the "
+                 "reference A/B did NOT run; do not compare this "
+                 "vs_baseline with reference-ratio rounds)"),
+        "baseline": "host-numpy (reference A/B failed)",
         "vs_baseline": round(reads_per_s / host_rps, 3) if host_rps else 0.0,
     }))
 

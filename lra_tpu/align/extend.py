@@ -36,13 +36,18 @@ def _first_mismatch_fwd(read, chrom, q0, t0, q_hi, t_hi):
 
 def _first_mismatch_rev(read, chrom, q0, t0, q_hi):
     """Reverse-strand extension: read forward from q0, genome backward
-    from t0 (complemented)."""
+    from t0.  The comparison is RAW (uncomplemented) byte equality —
+    the reference's Checkbp rev loop compares
+    ``genome.seqs[curT] == read.seq[curQ]`` with no complement
+    (LinearExtend.h:77-82), so rev-strand runs extend only on
+    coincidental raw equality; complementing here extended one base
+    further and shifted equal-score D-run placements (measured
+    bit-identity residual)."""
     n = min(q_hi - q0, t0 + 1)
     if n <= 0:
         return 0
     a = read[q0:q0 + n]
     b = chrom[t0 - n + 1:t0 + 1][::-1]
-    b = np.where(b < 4, 3 - b, b)
     neq = np.nonzero(a != b)[0]
     return int(neq[0]) if len(neq) else n
 
@@ -221,10 +226,22 @@ def merge_same_diag(qpos, tpos, lengths, overlap, strand: int,
     ov = np.asarray(overlap, bool)
     d = t - q if strand == 0 else q + t + ln
     qe = q + ln
-    # anchor i chains onto i-1 when same diagonal, no overlap flags, a
-    # positive q gap, and gap <= merge_dist; groups are maximal runs
+    # the reference walks matches in their stored (q-ascending) order and
+    # compares each anchor to its IMMEDIATE predecessor in that walk
+    # (prev_diag/prev_qEnd update every step, LinearExtend.h:804-821), so
+    # two same-diag anchors with an off-diagonal anchor between them in q
+    # order never merge; our diag-primary input order makes them adjacent,
+    # so adjacency in the q-walk must be required explicitly (measured
+    # bit-identity residual: a cross-merged group absorbed the q-span of
+    # an off-diag 59bp anchor and SDP-2 dropped the anchor)
+    rank = np.empty(n, np.int64)
+    rank[np.lexsort((t, q))] = np.arange(n)
+    # anchor i chains onto i-1 when q-walk-adjacent, same diagonal, no
+    # overlap flags, a positive q gap, and gap <= merge_dist; groups are
+    # maximal runs
     chain = (~ov[:-1] & ~ov[1:] & (d[1:] == d[:-1]) & (qe[:-1] < q[1:])
-             & (np.abs(q[1:] - qe[:-1]) <= merge_dist))
+             & (np.abs(q[1:] - qe[:-1]) <= merge_dist)
+             & (rank[1:] == rank[:-1] + 1))
     starts = np.concatenate([[0], np.flatnonzero(~chain) + 1]) \
         .astype(np.int64)
     ends = np.concatenate([starts[1:], [n]]).astype(np.int64)

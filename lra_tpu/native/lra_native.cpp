@@ -608,27 +608,22 @@ int64_t lrn_linear_extend(const uint8_t* read, int64_t /*qlen*/,
     int64_t m = std::min(q_hi - q0, t0 + 1);
     if (m <= 0) return 0;
     int64_t s = 0;
-    // 8 bytes per step: chrom walked descending = byteswapped load;
-    // complement is 3 - b for b < 4, so words containing an N (code 4)
-    // fall back to the scalar tail
-    const uint64_t threes = 0x0303030303030303ull;
-    const uint64_t fours = 0x0404040404040404ull;
+    // RAW (uncomplemented) byte equality, chrom walked descending =
+    // byteswapped load: the reference's Checkbp rev loop compares
+    // genome.seqs[curT] == read.seq[curQ] with NO complement
+    // (LinearExtend.h:77-82) — rev-strand extension proceeds only on
+    // coincidental raw equality, and complementing here was a measured
+    // bit-identity residual (it extended runs one base further)
     for (; s + 8 <= m; s += 8) {
       uint64_t a, c;
       std::memcpy(&a, read + q0 + s, 8);
       std::memcpy(&c, chrom + t0 - s - 7, 8);
       c = __builtin_bswap64(c);
-      // any byte == 4?  (x - 0x01..) & ~x & 0x80.. on (c ^ fours)
-      uint64_t z = c ^ fours;
-      if ((z - 0x0101010101010101ull) & ~z & 0x8080808080808080ull)
-        break;
-      uint64_t x = a ^ (threes - c);
+      uint64_t x = a ^ c;
       if (x) return s + (int64_t)(__builtin_ctzll(x) >> 3);
     }
     for (; s < m; s++) {
-      uint8_t b = chrom[t0 - s];
-      if (b < 4) b = 3 - b;
-      if (read[q0 + s] != b) return s;
+      if (read[q0 + s] != chrom[t0 - s]) return s;
     }
     return m;
   };
