@@ -442,8 +442,15 @@ def map_batch_lowacc(reads, genome: Genome, index: GlobalIndex,
             trim_overlapped_anchors(q, t, ln, c.strand)
             keep = ln > 0
             q, t, ln, ovp = q[keep], t[keep], ln[keep], ovp[keep]
-            gs, ge = merge_same_diag(q, t, ln, ovp, c.strand,
-                                     opts.merge_dist)
+            # the lowacc SDP-2' chains RAW anchors, each scored
+            # len * second_anchorbonus (reference: SparseDP.h:2287,
+            # Value at :2355-2401 = matchesLengths[i] * bonus) — only
+            # the highacc SDP-2 (:1766) runs over MergeMatchesSameDiag
+            # groups.  Group-span scoring here let a dense same-diag
+            # group outscore a longer off-diag anchor it overlapped
+            # (measured bit-identity residual at read-start boxes)
+            gs = np.arange(len(q), dtype=np.int64)
+            ge = gs + 1
             seg_exts.append((ExtCluster(q, t, ln, ovp, c.strand, c.chrom,
                                         gs, ge), ty))
         # one SDP-2 problem per segment (reference runs per merged cluster)

@@ -64,7 +64,27 @@ def first_diff(a, b):
     return None
 
 
+def repeat_salt(rng, g):
+    """Salt a genome with the bench_genome repeat recipe scaled to its
+    size: LINE-like 5kb pastes + a 171bp satellite array (repeats are
+    where freq caps, window thinning, and tie-breaks diverge)."""
+    per = len(g)
+    unit = g[1000:6000].copy()
+    for _ in range(max(4, per // 250_000)):
+        p = int(rng.integers(0, per - 6000))
+        g[p:p + 5000] = unit
+    sat = g[100:271].copy()
+    ncopy = min(500, per // 2000)
+    p0 = int(rng.integers(0, per - 171 * (ncopy + 1)))
+    for k in range(ncopy):
+        g[p0 + k * 171:p0 + (k + 1) * 171] = sat
+    return g
+
+
 def main():
+    repeat = "--repeat" in sys.argv
+    if repeat:
+        sys.argv.remove("--repeat")
     kind = sys.argv[4] if len(sys.argv) > 4 else "ccs"
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     default_err = {"ccs": 0.002, "ont": 0.05, "clr": 0.12, "contig": 0.0}[kind]
@@ -89,7 +109,9 @@ def main():
             seq = np.concatenate([seq[:ipos], insert, seq[ipos:]])
             reads.append((f"r{i}", seq))
     else:
-        g = random_genome(rng, 300000)
+        g = random_genome(rng, 5_000_000 if repeat else 300000)
+        if repeat:
+            g = repeat_salt(rng, g)
         reads = []
         for i in range(n):
             r = sample_read(rng, g, rlen, snp=err * 0.6, ins=err * 0.2,
