@@ -205,16 +205,22 @@ def score_op_arrays(codes: np.ndarray, lens: np.ndarray,
     st.n_small_ins = int((I <= 10).sum()) + int((I <= 20).sum())
     st.n_med_ins = int(((I > 10) & (I < 50)).sum())
     st.n_large_ins = int((I > 50).sum())
-    val = float(lens[is_m].sum()) - float(lens[is_x].sum())
-    g = np.concatenate([D, I])
-    if len(g):
-        idx = np.clip((g - 1) // 5, 0, len(_LOG_TABLE) - 1)
-        gv = np.where(
-            g <= 20, -g.astype(np.float64),
-            np.where(g <= 10001, -3.0 * _LOG_TABLE[idx] - 1.0,
-                     np.where(g <= 100001, -1000.0, -2000.0)))
-        val += float(gv.sum())
-    st.value = val
+    # the reference accumulates `value` in FLOAT, one increment per run
+    # in run order (Alignment.h:54,414-504) — at megabase NV scale f64
+    # sums diverge from its rounding, so build per-run f32 increments
+    # and f32-cumsum them (sequential adds, same grouping)
+    l32 = lens.astype(np.float32)
+    idx = np.clip((lens - 1) // 5, 0, len(_LOG_TABLE) - 1)
+    gap32 = np.where(
+        lens <= 20, -l32,
+        np.where(lens <= 10001,
+                 (-(np.float32(3.0) * _LOG_TABLE[idx])
+                  - np.float32(1.0)).astype(np.float32),
+                 np.where(lens <= 100001, np.float32(-1000.0),
+                          np.float32(-2000.0)))).astype(np.float32)
+    incr = np.where(is_m, l32, np.where(is_x, -l32, gap32))
+    st.value = float(np.cumsum(incr, dtype=np.float32)[-1]) if len(incr) \
+        else 0.0
     from .. import native
 
     nc = native.cigar_string(codes, lens,
@@ -230,10 +236,11 @@ def score_op_arrays(codes: np.ndarray, lens: np.ndarray,
 
 
 def score_ops(ops, read=None, chrom=None, blocks=None) -> AlnStats:
-    """CIGAR string + stats + NV from an op run list."""
+    """CIGAR string + stats + NV from an op run list (f32 accumulation
+    in run order — the reference's `float value`, Alignment.h:54)."""
     st = AlnStats()
     parts = []
-    val = 0.0
+    val = np.float32(0.0)
     for op, ln in ops:
         parts.append(f"{ln}{op}")
         if op == "=":
@@ -319,11 +326,14 @@ def ops_to_md(ops, read: np.ndarray, chrom: np.ndarray, q0: int,
     return "".join(md)
 
 
-def _gap_value(ln: int) -> float:
+def _gap_value(ln: int):
+    """f32 gap increment, exactly as the reference computes it
+    (Alignment.h:469: -3.0f*LookUpTable[a] - 1 in float)."""
     if ln <= 20:
-        return -float(ln)
+        return np.float32(-ln)
     if ln <= 10001:
-        return float(-3.0 * _LOG_TABLE[(ln - 1) // 5] - 1.0)
+        return -(np.float32(3.0) * _LOG_TABLE[(ln - 1) // 5]) \
+            - np.float32(1.0)
     if ln <= 100001:
-        return -1000.0
-    return -2000.0
+        return np.float32(-1000.0)
+    return np.float32(-2000.0)

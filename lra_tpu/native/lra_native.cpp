@@ -975,12 +975,17 @@ extern "C" void lrn_score_ops(const uint8_t* codes, const int64_t* lens,
                               int64_t n, const double* logtab,
                               int64_t logn, int64_t* ic, double* value) {
   for (int i = 0; i < 12; i++) ic[i] = 0;
-  double val = 0.0;
+  // the reference accumulates `value` in FLOAT (Alignment.h:54), one
+  // increment per CIGAR run in run order — at megabase scale (contig
+  // NV ~5e6, f32 ULP 0.5) f64 accumulation visibly diverges from the
+  // reference's rounding, so f32 sequential accumulation is the parity
+  // semantics, not an approximation
+  float val = 0.0f;
   for (int64_t i = 0; i < n; i++) {
     int64_t l = lens[i];
     switch (codes[i]) {
-      case 0: ic[0] += l; val += (double)l; break;
-      case 1: ic[1] += l; val -= (double)l; break;
+      case 0: ic[0] += l; val += (float)l; break;
+      case 1: ic[1] += l; val -= (float)l; break;
       case 2:                                   // I
         ic[2]++; ic[3] += l;
         if (l <= 10) ic[9]++;
@@ -996,16 +1001,18 @@ extern "C" void lrn_score_ops(const uint8_t* codes, const int64_t* lens,
         break;
     }
     if (codes[i] == 2 || codes[i] == 3) {
-      if (l <= 20) val -= (double)l;
+      if (l <= 20) val -= (float)l;
       else if (l <= 10001) {
         int64_t idx = (l - 1) / 5;
         if (idx > logn - 1) idx = logn - 1;
-        val -= 3.0 * logtab[idx] + 1.0;
-      } else if (l <= 100001) val -= 1000.0;
-      else val -= 2000.0;
+        // reference: value += -3.0f*LookUpTable[a] - 1 in f32
+        // (Alignment.h:420,469); logtab holds f64(f32 entry) exactly
+        val += -(3.0f * (float)logtab[idx]) - 1.0f;
+      } else if (l <= 100001) val -= 1000.0f;
+      else val -= 2000.0f;
     }
   }
-  *value = val;
+  *value = (double)val;
 }
 
 // Build merged CIGAR op-run arrays from a block list in one pass

@@ -63,11 +63,12 @@ def _banded_arrows(q, t, qlen, tlen, K, m, mm, indel, kband=None):
 
     log_steps = int(np.ceil(np.log2(band)))
 
-    def step(carry, j):
-        prev = carry  # f32[B, band], row j-1
+    def row_update(prev, j):
+        # one DP row; prev = f32[B, band] row j-1
         # q codes at i-1 = j-1+d  -> slice qpad at offset (j-1-K) + (K+1)
         qrow = jax.lax.dynamic_slice_in_dim(qpad, j, band, axis=1)  # [B, band]
-        sub = jnp.where(qrow == t[:, j - 1][:, None], float(m), float(mm))
+        tj = t[:, jnp.minimum(j - 1, T - 1)]   # clip: unroll-padded rows
+        sub = jnp.where(qrow == tj[:, None], float(m), float(mm))
 
         sMat = prev + sub
         # sDel: predecessor (i, j-1) at offset d+1 in row j-1
@@ -105,9 +106,30 @@ def _banded_arrows(q, t, qlen, tlen, K, m, mm, indel, kband=None):
         arr = jnp.where(is_i0, jnp.int8(DOWN), arr)
         arr = jnp.where(valid, arr, jnp.int8(-1))
 
-        return row, (row, arr)
+        return row, arr
 
-    _, (rows, arrows) = jax.lax.scan(step, row0, jnp.arange(1, T + 1))
+    # multi-row unroll: R sequential row updates per scan step.  The
+    # per-row tile ([B, band]) is far below the VPU width, so the scan's
+    # per-step fixed cost dominates; unrolling amortizes it over R rows
+    # (VERDICT r4 item 5).  Row math is IDENTICAL to the single-row
+    # scan — rows beyond T (unroll padding) are computed on clipped
+    # inputs and sliced off below.
+    R = 8
+    nblk = (T + R - 1) // R
+
+    def step(carry, jb):
+        prev = carry
+        rows_l, arrs_l = [], []
+        for r in range(R):
+            j = jb * R + 1 + r
+            prev, arr = row_update(prev, j)
+            rows_l.append(prev)
+            arrs_l.append(arr)
+        return prev, (jnp.stack(rows_l), jnp.stack(arrs_l))
+
+    _, (rows, arrows) = jax.lax.scan(step, row0, jnp.arange(nblk))
+    rows = rows.reshape(nblk * R, B, band)[:T]
+    arrows = arrows.reshape(nblk * R, B, band)[:T]
     # rows: [T, B, band] -> final score at j = tlen, d = qlen - tlen
     rows = jnp.concatenate([row0[None], rows], axis=0)      # [T+1, B, band]
     arrows = jnp.concatenate([arrows0[None], arrows], axis=0)
@@ -135,7 +157,7 @@ def _traceback_ops_device(arrows, qlen, tlen, K, L):
     arr_b = jnp.transpose(arrows, (1, 0, 2))
     barange = jnp.arange(B, dtype=jnp.int32)
 
-    def step(state, _):
+    def one(state):
         i, j, active = state
         d = i - j + K
         ok = active & (i >= 0) & (j >= 0) & (d >= 0) & (d < band)
@@ -149,9 +171,22 @@ def _traceback_ops_device(arrows, qlen, tlen, K, L):
         return ((i - di).astype(jnp.int32), (j - dj).astype(jnp.int32),
                 active2), a
 
+    # unrolled by R steps per scan iteration: the per-step tile ([B])
+    # is tiny, so scan fixed cost dominates the walk
+    R = 8
+    nblk = (L + R - 1) // R
+
+    def step(state, _):
+        outs = []
+        for _r in range(R):
+            state, a = one(state)
+            outs.append(a)
+        return state, jnp.stack(outs)
+
     init = (qlen.astype(jnp.int32), tlen.astype(jnp.int32),
             jnp.ones(qlen.shape, bool))
-    _, ops = jax.lax.scan(step, init, None, length=L)
+    _, ops = jax.lax.scan(step, init, None, length=nblk)
+    ops = ops.reshape(nblk * R, -1)[:L]
     return jnp.transpose(ops)    # [B, L], end-of-alignment first
 
 
@@ -361,10 +396,11 @@ def _refine_arrows(q, t, qlen, tlen, K, m, mm, indel, kband=None):
 
     log_steps = int(np.ceil(np.log2(band)))
 
-    def step(carry, j):
+    def row_update(carry, j):
         Sp, Dp = carry                     # rows j-1: [B, band]
         qrow = jax.lax.dynamic_slice_in_dim(qpad, j, band, axis=1)
-        sub = jnp.where(qrow == t[:, j - 1][:, None], float(m), float(mm))
+        tj = t[:, jnp.minimum(j - 1, T - 1)]   # clip: unroll-padded rows
+        sub = jnp.where(qrow == tj[:, None], float(m), float(mm))
 
         shiftS = jnp.concatenate([Sp[:, 1:], jnp.full((B, 1), NEGF)], axis=1)
         shiftD = jnp.concatenate([Dp[:, 1:], jnp.full((B, 1), NEGF)], axis=1)
@@ -419,11 +455,28 @@ def _refine_arrows(q, t, qlen, tlen, K, m, mm, indel, kband=None):
         plane = jnp.where(valid, plane, jnp.int8(-1))
 
         D_out = jnp.where(valid, D_new, NEGF)
-        return (S_row, D_out), (S_row, plane)
+        return (S_row, D_out), plane
+
+    # multi-row unroll (see _banded_arrows): amortize the scan's
+    # per-step fixed cost over R rows; identical row math, padded rows
+    # sliced off
+    R = 8
+    nblk = (T + R - 1) // R
+
+    def step(carry, jb):
+        st = carry
+        rows_l, planes_l = [], []
+        for r in range(R):
+            j = jb * R + 1 + r
+            st, plane = row_update(st, j)
+            rows_l.append(st[0])
+            planes_l.append(plane)
+        return st, (jnp.stack(rows_l), jnp.stack(planes_l))
 
     D0 = jnp.full((B, band), NEGF)
-    (_, _), (rows, planes) = jax.lax.scan(
-        step, (row0, D0), jnp.arange(1, T + 1))
+    _, (rows, planes) = jax.lax.scan(step, (row0, D0), jnp.arange(nblk))
+    rows = rows.reshape(nblk * R, B, band)[:T]
+    planes = planes.reshape(nblk * R, B, band)[:T]
     rows = jnp.concatenate([row0[None], rows], axis=0)
     planes = jnp.concatenate([arrows0[None], planes], axis=0)
     d_final = (qlen - tlen + K).astype(jnp.int32)
@@ -441,7 +494,7 @@ def _traceback_refine_device(planes, qlen, tlen, K, L):
     barange = jnp.arange(B, dtype=jnp.int32)
     MAIN, DEL, INS = 0, 1, 2
 
-    def step(state, _):
+    def one(state):
         i, j, lane, active = state
         d = i - j + K
         ok = active & (i >= 0) & (j >= 0) & (d >= 0) & (d < band)
@@ -471,9 +524,21 @@ def _traceback_refine_device(planes, qlen, tlen, K, L):
         return ((i - di).astype(jnp.int32), (j - dj).astype(jnp.int32),
                 lane2, a >= 0), a
 
+    # unrolled by R steps per scan iteration (see _traceback_ops_device)
+    R = 8
+    nblk = (L + R - 1) // R
+
+    def step(state, _):
+        outs = []
+        for _r in range(R):
+            state, a = one(state)
+            outs.append(a)
+        return state, jnp.stack(outs)
+
     init = (qlen.astype(jnp.int32), tlen.astype(jnp.int32),
             jnp.zeros(qlen.shape, jnp.int32), jnp.ones(qlen.shape, bool))
-    _, ops = jax.lax.scan(step, init, None, length=L)
+    _, ops = jax.lax.scan(step, init, None, length=nblk)
+    ops = ops.reshape(nblk * R, -1)[:L]
     return jnp.transpose(ops)
 
 

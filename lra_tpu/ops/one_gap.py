@@ -88,10 +88,11 @@ def _prefix_pass(q, qlen, tlen, kband, K, D, m, mm, indel, t):
     # init upperMax[0] = 0 (idx 0) when qlen <= tlen
     up0 = up0.at[:, K].set(jnp.where(qlen <= tlen, 0.0, NEGF))
 
-    def step(carry, j):
+    def row_update(carry, j):
         prev, up, upi = carry
         qrow = jax.lax.dynamic_slice_in_dim(qpad, j, LP, axis=1)
-        sub = jnp.where(qrow == t[:, j - 1][:, None], float(m), float(mm))
+        tj = t[:, jnp.minimum(j - 1, t.shape[1] - 1)]  # clip: unroll pad
+        sub = jnp.where(qrow == tj[:, None], float(m), float(mm))
         i_vals = j + offs[None, :]                    # [1,LP] -> [B,LP]
         i_vals = jnp.broadcast_to(i_vals, (B, LP))
 
@@ -153,8 +154,27 @@ def _prefix_pass(q, qlen, tlen, kband, K, D, m, mm, indel, t):
 
         return (row, up, upi), (row, arr, lower_max, lower_idx)
 
+    # R-row unroll (see affine_kernel._banded_arrows): scan fixed cost
+    # dominates the tiny per-row tiles; padded rows are masked invalid
+    # (j > tB1) so their up/upi window writes are no-ops, and their
+    # stacked outputs are sliced off below
+    R = 8
+    nblk = (TPs + R - 1) // R
+
+    def step(carry, jb):
+        outs = []
+        for r in range(R):
+            j = jb * R + 1 + r
+            carry, out = row_update(carry, j)
+            outs.append(out)
+        return carry, tuple(jnp.stack(x) for x in zip(*outs))
+
     (_, up, upi), (rows, arrows, lmax, lidx) = jax.lax.scan(
-        step, (row0, up0, upi0), jnp.arange(1, TPs + 1))
+        step, (row0, up0, upi0), jnp.arange(nblk))
+    rows = rows.reshape(nblk * R, *rows.shape[2:])[:TPs]
+    arrows = arrows.reshape(nblk * R, *arrows.shape[2:])[:TPs]
+    lmax = lmax.reshape(nblk * R, *lmax.shape[2:])[:TPs]
+    lidx = lidx.reshape(nblk * R, *lidx.shape[2:])[:TPs]
     rows = jnp.concatenate([row0[None], rows], axis=0)
     arrows = jnp.concatenate([arrows0[None], arrows], axis=0)
     # lower arrays indexed by j: prepend j=0 (P[0,0]=0 when qlen>=tlen)
@@ -245,11 +265,12 @@ def _suffix_pass(q_tail, t_tail, qlen, tlen, kband, K, D, m, mm, indel,
     eA_idx = qLow - 1 - dqt + K + 2       # case A border-b lane index
     eB_idx = K + kband + 3                # case B border-b' lane index
 
-    def step(carry, s):
+    def row_update(carry, s):
         prev, acc = carry
         j = tLow + 1 + s                                  # [B]
         i_vals = j[:, None] + dqt[:, None] + eoffs[None, :]
-        tcode = tsh[:, s][:, None]
+        sc = jnp.minimum(s, tsh.shape[1] - 1)   # clip: unroll pad
+        tcode = tsh[:, sc][:, None]
         qcode = jax.lax.dynamic_slice_in_dim(qsh, s, LS, axis=1)
         sub = jnp.where(qcode == tcode, float(m), float(mm))
 
@@ -321,9 +342,22 @@ def _suffix_pass(q_tail, t_tail, qlen, tlen, kband, K, D, m, mm, indel,
         acc2 = jnp.where(j == tlen, row[:, K + 2], acc)
         return (row, acc2), (row, arr)
 
+    # R-row unroll; padded rows (j > tlen) are fully masked and sliced
+    R = 8
+    nblk = (TSs + R - 1) // R
+
+    def step(carry, sb):
+        outs = []
+        for r in range(R):
+            carry, out = row_update(carry, sb * R + r)
+            outs.append(out)
+        return carry, tuple(jnp.stack(x) for x in zip(*outs))
+
     acc0 = jnp.full((B,), NEGF)
     (_, score), (rows, arrows) = jax.lax.scan(step, (row0, acc0),
-                                              jnp.arange(TSs))
+                                              jnp.arange(nblk))
+    rows = rows.reshape(nblk * R, *rows.shape[2:])[:TSs]
+    arrows = arrows.reshape(nblk * R, *arrows.shape[2:])[:TSs]
     arrows = jnp.concatenate([arrows0[None], arrows], axis=0)
     rows = jnp.concatenate([row0[None], rows], axis=0)
     return arrows, score, rows
@@ -347,7 +381,7 @@ def _traceback(parr, sarr, qlen, tlen, kband, K, D, lidx, upi, L):
     TS1 = sa.shape[1]
     UPW = upi.shape[1]
 
-    def step(state, _):
+    def one(state):
         i, j, phase, active, jump = state
         # phase 0 = suffix, 1 = prefix
         srow = jnp.clip(j - tLow, 0, TS1 - 1)
@@ -374,10 +408,22 @@ def _traceback(parr, sarr, qlen, tlen, kband, K, D, lidx, upi, L):
         return ((i2.astype(jnp.int32), j2.astype(jnp.int32), phase2,
                  active2, jump2.astype(jnp.int32)), a)
 
+    # R-step unroll of the walk
+    R = 8
+    nblk = (L + R - 1) // R
+
+    def step(state, _):
+        outs = []
+        for _r in range(R):
+            state, a = one(state)
+            outs.append(a)
+        return state, jnp.stack(outs)
+
     init = (qlen.astype(jnp.int32), tlen.astype(jnp.int32),
             jnp.zeros(B, jnp.int32), jnp.ones(B, bool),
             jnp.zeros(B, jnp.int32))
-    (_, _, _, _, jump), ops = jax.lax.scan(step, init, None, length=L)
+    (_, _, _, _, jump), ops = jax.lax.scan(step, init, None, length=nblk)
+    ops = ops.reshape(nblk * R, -1)[:L]
     return jnp.transpose(ops), jump
 
 

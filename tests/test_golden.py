@@ -509,6 +509,71 @@ def test_golden_contig_bit_identity(ref_bin, tmp_path):
     assert ident >= 7, ident
 
 
+def test_golden_contig_windowed_device_bit_identity(ref_bin, tmp_path):
+    """VERDICT r4 item 3: CONTIG bit-identity through the DEVICE +
+    WINDOWED chaining path.  A 2.5Mb draft-style contig (0.4% small
+    indels + 0.1% SNPs + a 5kb DEL and 2kb INS) fragments into ~14k
+    same-diagonal groups, far past the 8192-fragment bucket ceiling, so
+    chain/driver routes the SDP through ops/sdp_windowed.py — the only
+    configuration where the windowed kernel's two documented
+    under-approximation classes (sdp_windowed.py:25-41) meet the
+    reference's exact SDP as an oracle.  Asserts FULL identity:
+    pos+flag+CIGAR+NM+NV+AS (measured IDENTICAL; NV/AS require the
+    reference's f32 run-order score accumulation at this scale)."""
+    size, ind = 2_500_000, 0.004
+    rng = np.random.default_rng(5)
+    g = random_genome(rng, size + 3_000_000)
+    s = 1_000_000
+    dele, ins_len = 5000, 2000
+    seq = g[s:s + size + dele].copy()
+    dpos = size // 3
+    seq = np.concatenate([seq[:dpos], seq[dpos + dele:]])
+    ipos = 2 * size // 3
+    insert = rng.integers(0, 4, ins_len).astype(np.uint8)
+    seq = np.concatenate([seq[:ipos], insert, seq[ipos:]])
+    n = len(seq)
+    snp_pos = np.nonzero(rng.random(n) < 0.001)[0]
+    seq[snp_pos] = (seq[snp_pos] + 1 + rng.integers(0, 3, len(snp_pos))) % 4
+    keep = rng.random(len(seq)) >= ind
+    seq = seq[keep]
+    ins_mask = rng.random(len(seq)) < ind
+    parts, prev = [], 0
+    for p in np.nonzero(ins_mask)[0]:
+        parts.append(seq[prev:p])
+        parts.append(rng.integers(0, 4, 1).astype(np.uint8))
+        prev = p
+    parts.append(seq[prev:])
+    seq = np.concatenate(parts)
+    reads = [("ctg0", seq)]
+    _write_inputs(tmp_path, g, reads)
+    ref_rows = _run_reference(ref_bin, tmp_path, "-CONTIG")
+    assert "ctg0" in ref_rows
+    genome = Genome.from_seqs([("chr1", g)])
+    # assert the windowed kernel is actually the code under test
+    from lra_tpu.chain import driver as chain_driver
+    sizes = []
+    orig = chain_driver._solve_batch
+
+    def record(problems, gp, use_device=True):
+        sizes.extend(len(p.qS) for p in problems)
+        return orig(problems, gp, use_device)
+
+    chain_driver._solve_batch = record
+    try:
+        ours = _run_ours(genome, reads, preset("contig"), use_device=True,
+                         with_li=False)
+    finally:
+        chain_driver._solve_batch = orig
+    assert any(x > 8192 for x in sizes), sorted(sizes)[-4:]
+    rpos, rflag, rcig, rtags = ref_rows["ctg0"]
+    opos, oflag, ocig, otags = ours["ctg0"]
+    assert (opos, oflag) == (rpos, rflag), (opos, rpos, oflag, rflag)
+    assert ocig == rcig, "CIGAR diff (%d vs %d ops)" % (len(ocig), len(rcig))
+    for tag in ("NM", "NV", "AS"):
+        assert otags.get(tag) == rtags.get(tag), \
+            (tag, otags.get(tag), rtags.get(tag))
+
+
 def test_golden_paf(ref_bin, tmp_path):
     """PAF parity: coordinates/strand agree with the reference's -p p."""
     rng = np.random.default_rng(33)
