@@ -66,7 +66,8 @@ def main():
 
     rows = []
     workloads = {"ccs": (256, 8000, 0.005, 128, 2),
-                 "ont": (128, 12000, 0.05, 64, 3)}
+                 "ont": (128, 12000, 0.05, 64, 3),
+                 "clr": (128, 10000, 0.12, 64, 3)}
     for kind in kinds:
         n, rl, err, sub, workers = workloads[kind]
         opts = preset(kind)
